@@ -1,0 +1,30 @@
+#!/usr/bin/env python
+"""Driver benchmark entry point.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "details": {...}}
+
+Workload: the BASELINE.json north-star — exact top-10 cosine retrieval,
+batched queries, 1M-item catalog, one chip.
+"""
+
+import json
+import sys
+
+
+def main() -> int:
+    from spotify_recommender_tpu import benchmark
+
+    result = benchmark.run_benchmark(
+        num_items=1_000_000,
+        num_queries=1024,
+        feature_dim=12,
+        k=10,
+        backend="auto",
+    )
+    print(benchmark.to_json_line(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,152 @@
+"""Benchmark harness: queries/sec/chip for exact top-k retrieval.
+
+North-star metric (BASELINE.json): queries/sec/chip for exact top-10 over a
+1M-item catalog.  The reference's own headline number is ~3.5-5 ms per
+single query over a 100K-item catalog on an RTX 3060 (reference
+ARCHITECTURE.md:242-247, PROJECT_SUMMARY.md:130-138) ≈ 250 queries/sec —
+that serves as `vs_baseline`'s denominator even though our workload is 10x
+the catalog (1M items), so vs_baseline understates the true speedup per
+scored item by ~10x.
+
+Timings use `block_until_ready` fencing (honest device timings, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spotify_recommender_tpu.core.logging import get_logger
+
+log = get_logger(__name__)
+
+# Reference headline: ~4 ms/query end-to-end at 100K items => ~250 qps.
+REFERENCE_QPS = 250.0
+
+
+@dataclasses.dataclass
+class BenchResult:
+    metric: str
+    value: float
+    unit: str
+    vs_baseline: float
+    details: dict
+
+
+def _make_inputs(num_items: int, num_queries: int, dim: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    # bounded [0,1] features like the normalized catalog
+    feats = rng.random((num_items, dim), dtype=np.float32)
+    norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+    q_rows = rng.integers(0, num_items, size=num_queries)
+    queries = feats[q_rows]
+    return feats, norms, queries, q_rows.astype(np.int32)
+
+
+def run_benchmark(
+    num_items: int = 1_000_000,
+    num_queries: int = 1024,
+    feature_dim: int = 12,
+    k: int = 10,
+    backend: str = "auto",
+    warmup: int = 2,
+    iters: int = 10,
+    seed: int = 0,
+) -> BenchResult:
+    feats, norms, queries, q_rows = _make_inputs(
+        num_items, num_queries, feature_dim, seed
+    )
+    dev_feats = jax.device_put(feats)
+    dev_norms = jax.device_put(norms)
+    dev_queries = jax.device_put(queries)
+    dev_excl = jax.device_put(q_rows)
+
+    platform = jax.devices()[0].platform
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+
+    if use_pallas:
+        try:
+            from spotify_recommender_tpu.ops.pallas.fused_topk import (
+                fused_score_topk,
+            )
+
+            def step():
+                return fused_score_topk(
+                    dev_queries, dev_feats, dev_norms, k=k,
+                    exclude_rows=dev_excl,
+                )
+
+            chosen = "pallas"
+        except Exception as e:
+            log.warning("pallas unavailable (%s); using XLA backend", e)
+            use_pallas = False
+    if not use_pallas:
+        from spotify_recommender_tpu.ops.similarity import exact_topk
+
+        def step():
+            return exact_topk(
+                dev_queries, dev_feats, dev_norms,
+                exclude_rows=dev_excl, k=k,
+            )
+
+        chosen = "xla"
+
+    # Warmup (compile)
+    t0 = time.perf_counter()
+    for _ in range(max(1, warmup)):
+        scores, rows = step()
+    jax.block_until_ready((scores, rows))
+    compile_time = time.perf_counter() - t0
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = step()
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    t_med = float(np.median(times))
+    qps = num_queries / t_med
+
+    # HBM roofline context: the score pass must stream the catalog once.
+    bytes_streamed = num_items * feature_dim * 4 + num_items * 4
+    gbps = bytes_streamed / t_med / 1e9
+
+    result = BenchResult(
+        metric=f"queries/sec/chip exact top-{k} over {num_items} items",
+        value=round(qps, 1),
+        unit="queries/sec",
+        vs_baseline=round(qps / REFERENCE_QPS, 2),
+        details={
+            "backend": chosen,
+            "platform": platform,
+            "num_items": num_items,
+            "num_queries": num_queries,
+            "feature_dim": feature_dim,
+            "k": k,
+            "median_batch_latency_ms": round(t_med * 1e3, 3),
+            "effective_catalog_stream_GBps": round(gbps, 1),
+            "compile_plus_warmup_s": round(compile_time, 2),
+        },
+    )
+    log.info("benchmark: %s", result)
+    return result
+
+
+def to_json_line(r: BenchResult) -> str:
+    return json.dumps(
+        {
+            "metric": r.metric,
+            "value": r.value,
+            "unit": r.unit,
+            "vs_baseline": r.vs_baseline,
+            **{"details": r.details},
+        }
+    )

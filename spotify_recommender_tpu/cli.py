@@ -1,0 +1,275 @@
+"""Command-line interface.
+
+Superset of the reference CLI (reference main.cpp:13-31 usage, :144-186
+dispatch).  Two calling styles:
+
+- reference-parity flags, drop-in compatible:
+    ``... --preprocess dataset.csv``
+    ``... --song "Bohemian Rhapsody" -n 5``
+    ``... --id "3ade68b8e" -n 10``
+- subcommands for the extended framework:
+    ``preprocess | recommend | train-mf | train-two-tower | serve | benchmark``
+
+The default catalog artifact is ``songs_catalog.npz`` (analog of the
+reference's pinned ``songs_data.bin``, main.cpp:11) but is configurable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from spotify_recommender_tpu.core.logging import get_logger
+
+log = get_logger(__name__)
+
+DEFAULT_CATALOG = "songs_catalog.npz"
+
+BANNER = """\
++------------------------------------------------+
+|  TPU-Native Music Retrieval & Recommendation   |
+|        JAX / XLA / Pallas / pjit engine        |
++------------------------------------------------+
+"""
+
+
+def _load_catalog(path: str):
+    from spotify_recommender_tpu.data.catalog import Catalog
+
+    if path.endswith(".bin"):
+        return Catalog.load_reference_binary(path)
+    return Catalog.load(path)
+
+
+def cmd_preprocess(csv_path: str, output: str) -> int:
+    from spotify_recommender_tpu.data.catalog import preprocess_csv
+
+    print("=== PREPROCESSING MODE ===")
+    cat = preprocess_csv(csv_path, output)
+    print(f"Valid songs: {len(cat)}")
+    print(f"Unique genres: {cat.num_genres}")
+    print("\nGenre Mapping:")
+    for gid, name in enumerate(cat.genre_names):
+        print(f"  ID {gid}: {name}")
+    print(f"\nPreprocessing successful! Catalog saved to: {output}")
+    return 0
+
+
+def cmd_recommend(
+    query: str, by_id: bool, top_n: int, catalog_path: str
+) -> int:
+    from spotify_recommender_tpu.retrieval.retriever import Retriever
+
+    print("=== RECOMMENDATION MODE ===")
+    cat = _load_catalog(catalog_path)
+    retriever = Retriever(cat)
+
+    kind = "track ID" if by_id else "song"
+    print(f"\nSearching for {kind}: {query}")
+    try:
+        if by_id:
+            row = retriever.index.find_by_track_id(query)
+            recs = retriever.recommend_by_id(query, top_n)
+        else:
+            row = retriever.index.find_by_name(query)
+            recs = retriever.recommend_by_name(query, top_n)
+    except (KeyError, IndexError) as e:
+        # str(KeyError) wraps the message in repr quotes; unwrap it
+        msg = e.args[0] if e.args else str(e)
+        print(f"Error: {msg}", file=sys.stderr)
+        return 1
+
+    if row is not None:
+        q = retriever.lookup(row)
+        print("\n" + "=" * 46)
+        print("Query Song:")
+        print(f"  Title:   {q.track_name}")
+        print(f"  Artist:  {q.artists}")
+        print(f"  Genre:   {q.genre}")
+        print(f"  ID:      {q.track_id}")
+        print("=" * 46)
+
+    print(f"\nTop {len(recs)} Recommendations:\n")
+    for i, r in enumerate(recs):
+        print(f'{i + 1}. "{r.track_name}"')
+        print(f"   Artist: {r.artists}")
+        print(f"   Genre:  {r.genre}")
+        print(f"   ID:     {r.track_id}")
+        print(f"   Score:  {r.score:.6f}")
+        if i < len(recs) - 1:
+            print()
+    print("\nRecommendation complete!")
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    from spotify_recommender_tpu import benchmark
+
+    result = benchmark.run_benchmark(
+        num_items=args.items,
+        num_queries=args.queries,
+        feature_dim=args.dim,
+        k=args.k,
+        backend=args.backend,
+    )
+    print(benchmark.to_json_line(result))
+    return 0
+
+
+def cmd_train_mf(args) -> int:
+    from spotify_recommender_tpu.models import mf
+    from spotify_recommender_tpu.core.config import MFConfig
+
+    cfg = MFConfig(
+        embedding_dim=args.dim,
+        num_iterations=args.iterations,
+        reg=args.reg,
+        alpha=args.alpha,
+        seed=args.seed,
+    )
+    return mf.train_from_cli(args.interactions, cfg, args.output, solver=args.solver)
+
+
+def cmd_train_two_tower(args) -> int:
+    from spotify_recommender_tpu.models import two_tower
+    from spotify_recommender_tpu.core.config import TwoTowerConfig
+
+    cfg = TwoTowerConfig(
+        embedding_dim=args.dim,
+        num_steps=args.steps,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        seed=args.seed,
+    )
+    return two_tower.train_from_cli(args.catalog, cfg, args.output)
+
+
+def cmd_serve(args) -> int:
+    from spotify_recommender_tpu.serve.server import serve
+
+    return serve(args.catalog, host=args.host, port=args.port)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spotify_recommender_tpu", description=__doc__
+    )
+    sub = p.add_subparsers(dest="command")
+
+    sp = sub.add_parser("preprocess", help="CSV -> normalized catalog artifact")
+    sp.add_argument("csv")
+    sp.add_argument("-o", "--output", default=DEFAULT_CATALOG)
+
+    sr = sub.add_parser("recommend", help="top-N similar songs")
+    g = sr.add_mutually_exclusive_group(required=True)
+    g.add_argument("--song", help="query by (case-insensitive) name")
+    g.add_argument("--id", dest="track_id", help="query by exact track id")
+    sr.add_argument("-n", type=int, default=10)
+    sr.add_argument("--catalog", default=DEFAULT_CATALOG)
+
+    sb = sub.add_parser("benchmark", help="retrieval throughput benchmark")
+    sb.add_argument("--items", type=int, default=1_000_000)
+    sb.add_argument("--queries", type=int, default=1024)
+    sb.add_argument("--dim", type=int, default=12)
+    sb.add_argument("--k", type=int, default=10)
+    sb.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+
+    sm = sub.add_parser("train-mf", help="ALS/SGD matrix factorization")
+    sm.add_argument("interactions", help="CSV/npz of (user, item, count)")
+    sm.add_argument("-o", "--output", default="mf_model.npz")
+    sm.add_argument("--dim", type=int, default=64)
+    sm.add_argument("--iterations", type=int, default=10)
+    sm.add_argument("--reg", type=float, default=0.01)
+    sm.add_argument("--alpha", type=float, default=40.0)
+    sm.add_argument("--solver", default="als", choices=["als", "sgd"])
+    sm.add_argument("--seed", type=int, default=0)
+
+    st = sub.add_parser("train-two-tower", help="two-tower retrieval model")
+    st.add_argument("--catalog", default=DEFAULT_CATALOG)
+    st.add_argument("-o", "--output", default="two_tower_model")
+    st.add_argument("--dim", type=int, default=64)
+    st.add_argument("--steps", type=int, default=1000)
+    st.add_argument("--batch-size", type=int, default=1024)
+    st.add_argument("--lr", type=float, default=1e-3)
+    st.add_argument("--seed", type=int, default=0)
+
+    ss = sub.add_parser("serve", help="HTTP retrieval service")
+    ss.add_argument("--catalog", default=DEFAULT_CATALOG)
+    ss.add_argument("--host", default="127.0.0.1")
+    ss.add_argument("--port", type=int, default=8000)
+
+    return p
+
+
+def _parse_reference_style(argv: List[str]) -> Optional[int]:
+    """Handle the reference's exact flag grammar (main.cpp:144-180)."""
+    if not argv:
+        return None
+    mode = argv[0]
+    if mode == "--preprocess":
+        if len(argv) < 2:
+            print("Error: CSV path required for preprocessing mode", file=sys.stderr)
+            return 1
+        return cmd_preprocess(argv[1], DEFAULT_CATALOG)
+    if mode in ("--song", "--id"):
+        if len(argv) < 2:
+            print("Error: Song name or track ID required", file=sys.stderr)
+            return 1
+        query = argv[1]
+        top_n = 10  # reference default (main.cpp:166)
+        catalog = DEFAULT_CATALOG
+        i = 2
+        while i < len(argv) - 1:
+            if argv[i] == "-n":
+                try:
+                    top_n = int(argv[i + 1])
+                except ValueError:
+                    top_n = 0
+                if top_n <= 0:
+                    print(
+                        "Error: Invalid value for -n (must be positive)",
+                        file=sys.stderr,
+                    )
+                    return 1
+                i += 2
+            elif argv[i] == "--catalog":
+                catalog = argv[i + 1]
+                i += 2
+            else:
+                i += 1
+        return cmd_recommend(query, mode == "--id", top_n, catalog)
+    return None
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    print(BANNER)
+    ref = _parse_reference_style(argv)
+    if ref is not None:
+        return ref
+
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.command is None:
+        parser.print_help()
+        return 1
+    if args.command == "preprocess":
+        return cmd_preprocess(args.csv, args.output)
+    if args.command == "recommend":
+        query = args.track_id if args.track_id else args.song
+        return cmd_recommend(query, args.track_id is not None, args.n, args.catalog)
+    if args.command == "benchmark":
+        return cmd_benchmark(args)
+    if args.command == "train-mf":
+        return cmd_train_mf(args)
+    if args.command == "train-two-tower":
+        return cmd_train_two_tower(args)
+    if args.command == "serve":
+        return cmd_serve(args)
+    parser.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,122 @@
+"""Cosine-similarity scoring: the jnp reference oracle.
+
+Re-states the reference's similarity math (identical on its GPU and CPU
+paths) as pure JAX:
+
+- dot products: one GEMV/GEMM on the MXU
+  (replaces cuBLAS SGEMV, reference Recommender.cu:217-223);
+- cosine normalization with the 1e-8 zero-denominator guard and [-1, 1]
+  clamp (reference Recommender.cu:62-77 GPU, :256-273 CPU);
+- top-k stays **on device** via `lax.top_k` — the reference copied the full
+  N-float similarity vector back to host and ran a min-heap there
+  (reference Recommender.cu:248-249, :293-315); we transfer only k
+  (index, score) pairs;
+- self-exclusion by masking the query row to -inf before top-k
+  (reference skips the query index during heap fill, Recommender.cu:296).
+
+This module is the *oracle*: simple, obviously-correct XLA code that the
+fused Pallas kernel (ops/pallas/fused_topk.py) is validated against.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from spotify_recommender_tpu.core.config import COSINE_EPS
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def cosine_scores(
+    query: jnp.ndarray,
+    features: jnp.ndarray,
+    norms: Optional[jnp.ndarray] = None,
+    eps: float = COSINE_EPS,
+) -> jnp.ndarray:
+    """Cosine similarity of one query (F,) against the catalog (N, F).
+
+    Exact reference semantics (Recommender.cu:262-272): score_i =
+    clamp(dot_i / (norm_i * q_norm), -1, 1) when the denominator > eps,
+    else 0.
+    """
+    return cosine_scores_batched(query[None, :], features, norms, eps)[0]
+
+
+def cosine_scores_batched(
+    queries: jnp.ndarray,
+    features: jnp.ndarray,
+    norms: Optional[jnp.ndarray] = None,
+    eps: float = COSINE_EPS,
+) -> jnp.ndarray:
+    """Cosine similarity of a query batch (B, F) against the catalog (N, F).
+
+    One (B, F) x (F, N) GEMM — the batched generalization of the
+    reference's per-query SGEMV, shaped for the MXU.
+    """
+    queries = jnp.asarray(queries, jnp.float32)
+    features = jnp.asarray(features, jnp.float32)
+    if norms is None:
+        norms = jnp.linalg.norm(features, axis=1)
+    q_norms = jnp.linalg.norm(queries, axis=1)
+    # HIGHEST pins true-fp32 accumulation: the JAX default truncates matmul
+    # inputs to bf16, which breaks score parity with the reference's SGEMV
+    # (~1e-3 error). Retrieval is HBM-bound, so the extra MXU passes are free.
+    dots = jnp.dot(
+        queries,
+        features.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    denom = q_norms[:, None] * norms[None, :]
+    scores = jnp.where(
+        denom > jnp.float32(eps),
+        jnp.clip(dots / denom, -1.0, 1.0),
+        jnp.float32(0.0),
+    )
+    return scores
+
+
+def _mask_self(scores: jnp.ndarray, exclude_rows: jnp.ndarray) -> jnp.ndarray:
+    """Mask scores[b, exclude_rows[b]] to -inf; -1 disables exclusion."""
+    n = scores.shape[1]
+    cols = jnp.arange(n, dtype=jnp.int32)[None, :]
+    excl = exclude_rows.astype(jnp.int32)[:, None]
+    return jnp.where(cols == excl, NEG_INF, scores)
+
+
+def topk_scores(
+    scores: jnp.ndarray,
+    k: int,
+    exclude_rows: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k over a (B, N) score matrix with optional per-row self-exclusion.
+
+    Ties break toward the lower catalog index (lax.top_k semantics), the
+    deterministic pinning of the reference heap's boundary behavior
+    (reference Recommender.cu:300-305 keeps first-seen = lowest index on
+    strict-greater replacement).
+    """
+    if exclude_rows is not None:
+        scores = _mask_self(scores, exclude_rows)
+    return jax.lax.top_k(scores, k)
+
+
+@partial(jax.jit, static_argnames=("k", "eps"))
+def exact_topk(
+    queries: jnp.ndarray,
+    features: jnp.ndarray,
+    norms: Optional[jnp.ndarray] = None,
+    exclude_rows: Optional[jnp.ndarray] = None,
+    k: int = 10,
+    eps: float = COSINE_EPS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused-by-XLA exact retrieval: scores + top-k in one jit program.
+
+    Returns (top_scores (B, k), top_indices (B, k)).
+    """
+    scores = cosine_scores_batched(queries, features, norms, eps)
+    return topk_scores(scores, k, exclude_rows)

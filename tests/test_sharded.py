@@ -1,0 +1,97 @@
+"""Sharded retrieval on the virtual 8-device CPU mesh
+(the multi-chip substitute — SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spotify_recommender_tpu.core.config import MeshConfig, RetrievalConfig
+from spotify_recommender_tpu.core.mesh import make_mesh
+from spotify_recommender_tpu.ops.similarity import exact_topk
+from spotify_recommender_tpu.parallel.sharding import ShardedCatalog
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(MeshConfig(data=1, catalog=8))
+
+
+def random_features(n, d=12, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.random((n, d)).astype(np.float32)
+
+
+class TestShardedRetrieval:
+    def test_matches_single_device(self, mesh8):
+        feats = random_features(1000, seed=1)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        sc = ShardedCatalog(feats, norms, mesh8)
+        queries = jnp.asarray(feats[:16])
+        s_scores, s_rows = sc.retrieve(queries, k=10)
+        g_scores, g_rows = exact_topk(queries, jnp.asarray(feats), jnp.asarray(norms), k=10)
+        np.testing.assert_allclose(
+            np.asarray(s_scores), np.asarray(g_scores), rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_array_equal(np.asarray(s_rows), np.asarray(g_rows))
+
+    def test_unaligned_catalog_padding(self, mesh8):
+        # 1003 items: shards get padded; pad rows must never appear in top-k
+        feats = random_features(1003, seed=2)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        sc = ShardedCatalog(feats, norms, mesh8)
+        queries = jnp.asarray(feats[:8])
+        scores, rows = sc.retrieve(queries, k=50)
+        assert np.asarray(rows).max() < 1003
+        g_scores, g_rows = exact_topk(queries, jnp.asarray(feats), jnp.asarray(norms), k=50)
+        np.testing.assert_array_equal(np.asarray(rows), np.asarray(g_rows))
+
+    def test_exclusion(self, mesh8):
+        feats = random_features(512, seed=3)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        sc = ShardedCatalog(feats, norms, mesh8)
+        excl = jnp.arange(8, dtype=jnp.int32)
+        _, rows = sc.retrieve(jnp.asarray(feats[:8]), k=10, exclude_rows=excl)
+        rows = np.asarray(rows)
+        for b in range(8):
+            assert b not in rows[b]
+
+    def test_layout_invariance(self):
+        # identical results on 2-, 4-, and 8-way sharded layouts
+        feats = random_features(640, seed=4)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        queries = jnp.asarray(feats[:4])
+        results = []
+        for n_shards in (2, 4, 8):
+            mesh = make_mesh(MeshConfig(data=1, catalog=n_shards))
+            sc = ShardedCatalog(feats, norms, mesh)
+            _, rows = sc.retrieve(queries, k=25)
+            results.append(np.asarray(rows))
+        np.testing.assert_array_equal(results[0], results[1])
+        np.testing.assert_array_equal(results[1], results[2])
+
+    def test_retriever_integration(self, mesh8):
+        from spotify_recommender_tpu.data.catalog import Catalog
+        from spotify_recommender_tpu.retrieval.retriever import Retriever
+
+        feats = random_features(300, seed=5)
+        n = feats.shape[0]
+        cat = Catalog(
+            features=feats,
+            norms=None,
+            track_ids=np.asarray([f"id{i}" for i in range(n)], dtype=object),
+            track_names=np.asarray([f"Song {i}" for i in range(n)], dtype=object),
+            artists=np.asarray(["A"] * n, dtype=object),
+            genre_ids=np.zeros(n, np.int32),
+            genre_names=["g"],
+            min_vals=np.zeros(11, np.float32),
+            max_vals=np.ones(11, np.float32),
+        )
+        r = Retriever(cat, RetrievalConfig(use_pallas=False), mesh=mesh8)
+        recs = r.recommend_by_index(5, k=10)
+        assert len(recs) == 10
+        assert all(rec.row != 5 for rec in recs)
+
+        single = Retriever(cat, RetrievalConfig(use_pallas=False))
+        recs_single = single.recommend_by_index(5, k=10)
+        assert [x.row for x in recs] == [x.row for x in recs_single]
