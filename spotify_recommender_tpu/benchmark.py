@@ -75,14 +75,13 @@ def run_benchmark(
     if use_pallas:
         try:
             from spotify_recommender_tpu.ops.pallas.fused_topk import (
-                fused_score_topk,
+                FusedRetriever,
             )
 
+            fr = FusedRetriever(feats, norms)
+
             def step():
-                return fused_score_topk(
-                    dev_queries, dev_feats, dev_norms, k=k,
-                    exclude_rows=dev_excl,
-                )
+                return fr(dev_queries, k, dev_excl)
 
             chosen = "pallas"
         except Exception as e:

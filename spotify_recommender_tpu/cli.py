@@ -244,6 +244,16 @@ def _parse_reference_style(argv: List[str]) -> Optional[int]:
 
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    # Global --platform override (e.g. `--platform cpu` for small host-side
+    # jobs). Must be applied before any JAX device use; an env var is not
+    # enough because the TPU tunnel plugin re-registers over JAX_PLATFORMS.
+    if "--platform" in argv:
+        i = argv.index("--platform")
+        platform = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     print(BANNER)
     ref = _parse_reference_style(argv)
     if ref is not None:

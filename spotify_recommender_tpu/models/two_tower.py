@@ -1,0 +1,280 @@
+"""Two-tower retrieval model with in-batch softmax negatives.
+
+BASELINE config 5 scope (the reference has no learned models at all).
+TPU-first shape:
+
+- Flax towers (query + item) mapping feature vectors → L2-normalized
+  embeddings; all dense layers are MXU matmuls, batch-major.
+- InfoNCE with **in-batch negatives**: one (B, D)x(D, B) logits GEMM per
+  step instead of per-negative scoring.
+- Data parallelism under `shard_map`: the batch is sharded over the mesh's
+  "data" axis; each shard computes local query embeddings, `all_gather`s
+  item embeddings over ICI so every local query sees the **global** batch
+  as negatives, and gradients are `psum`'d — the canonical TPU two-tower
+  recipe.
+- Serving: embed the catalog once, then reuse the exact same retrieval
+  stack (ops/similarity.py oracle or the fused Pallas kernel) — learned
+  and hand-crafted embeddings share one serving path by construction.
+
+Training pairs: by default self-supervised same-genre positives from the
+catalog (the dataset ships no co-listen data); any (query_feats,
+item_feats) pair stream plugs in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from spotify_recommender_tpu.core.config import TwoTowerConfig
+from spotify_recommender_tpu.core.logging import get_logger
+
+log = get_logger(__name__)
+
+
+class Tower(nn.Module):
+    """MLP tower → L2-normalized embedding."""
+
+    hidden_dims: Tuple[int, ...]
+    embedding_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for h in self.hidden_dims:
+            x = nn.relu(nn.Dense(h)(x))
+        x = nn.Dense(self.embedding_dim)(x)
+        norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return x / jnp.maximum(norm, 1e-8)
+
+
+class TwoTower(nn.Module):
+    config: TwoTowerConfig
+
+    def setup(self) -> None:
+        dims = tuple(self.config.hidden_dims)
+        self.query_tower = Tower(dims, self.config.embedding_dim)
+        self.item_tower = Tower(dims, self.config.embedding_dim)
+
+    def __call__(self, q: jnp.ndarray, i: jnp.ndarray):
+        return self.query_tower(q), self.item_tower(i)
+
+    def embed_query(self, q: jnp.ndarray) -> jnp.ndarray:
+        return self.query_tower(q)
+
+    def embed_item(self, i: jnp.ndarray) -> jnp.ndarray:
+        return self.item_tower(i)
+
+
+def info_nce_loss(
+    q_emb: jnp.ndarray,       # (b, D) local queries
+    i_emb: jnp.ndarray,       # (b, D) local items (positives, row-aligned)
+    temperature: float,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Symmetric in-batch softmax loss; with `axis_name`, negatives span
+    the global batch via all_gather over the data axis."""
+    if axis_name is not None:
+        i_all = jax.lax.all_gather(i_emb, axis_name, axis=0, tiled=True)
+        b = q_emb.shape[0]
+        labels = jax.lax.axis_index(axis_name) * b + jnp.arange(b)
+    else:
+        i_all = i_emb
+        labels = jnp.arange(q_emb.shape[0])
+    logits = jnp.dot(
+        q_emb, i_all.T, preferred_element_type=jnp.float32
+    ) / jnp.float32(temperature)
+    loss_q = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    return jnp.mean(loss_q)
+
+
+def make_train_step(
+    model: TwoTower,
+    optimizer: optax.GradientTransformation,
+    temperature: float,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    def train_step(params, opt_state, q_batch, i_batch):
+        def loss_fn(p):
+            q_emb = model.apply(p, q_batch, method=TwoTower.embed_query)
+            i_emb = model.apply(p, i_batch, method=TwoTower.embed_item)
+            return info_nce_loss(q_emb, i_emb, temperature, axis_name)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: Dict
+    losses: list
+
+
+def same_genre_pairs(
+    features: np.ndarray,
+    genre_ids: np.ndarray,
+    batch_size: int,
+    rng: np.random.Generator,
+    noise: float = 0.05,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Self-supervised positives: (song, other song of the same genre),
+    with small feature noise on the query side as augmentation."""
+    n = features.shape[0]
+    anchors = rng.integers(0, n, size=batch_size)
+    positives = np.empty(batch_size, np.int64)
+    by_genre: Dict[int, np.ndarray] = {}
+    for b, a in enumerate(anchors):
+        g = int(genre_ids[a])
+        pool = by_genre.get(g)
+        if pool is None:
+            pool = np.flatnonzero(genre_ids == g)
+            by_genre[g] = pool
+        positives[b] = pool[rng.integers(0, len(pool))]
+    q = features[anchors] + noise * rng.standard_normal(
+        (batch_size, features.shape[1])
+    ).astype(np.float32)
+    return q.astype(np.float32), features[positives].astype(np.float32)
+
+
+def train(
+    features: np.ndarray,
+    genre_ids: np.ndarray,
+    config: TwoTowerConfig,
+    mesh: Optional[Mesh] = None,
+    pair_fn=None,
+) -> TrainResult:
+    """Train the two towers; with a mesh, batches shard over "data"."""
+    model = TwoTower(config)
+    rng = np.random.default_rng(config.seed)
+    feat_dim = features.shape[1]
+    params = model.init(
+        jax.random.PRNGKey(config.seed),
+        jnp.zeros((1, feat_dim)),
+        jnp.zeros((1, feat_dim)),
+    )
+    optimizer = optax.adam(config.learning_rate)
+    opt_state = optimizer.init(params)
+    pair_fn = pair_fn or (
+        lambda b: same_genre_pairs(features, genre_ids, b, rng)
+    )
+
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        step = jax.jit(
+            jax.shard_map(
+                make_train_step(
+                    model, optimizer, config.temperature, axis_name="data"
+                ),
+                mesh=mesh,
+                in_specs=(P(), P(), P("data", None), P("data", None)),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+        )
+    else:
+        step = jax.jit(
+            make_train_step(model, optimizer, config.temperature, None)
+        )
+
+    losses = []
+    for s in range(config.num_steps):
+        q, i = pair_fn(config.batch_size)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(q), jnp.asarray(i)
+        )
+        if s % 50 == 0 or s == config.num_steps - 1:
+            losses.append(float(loss))
+    log.info("two-tower done: loss %.4f -> %.4f", losses[0], losses[-1])
+    return TrainResult(params=params, losses=losses)
+
+
+def embed_catalog(
+    params: Dict, features: np.ndarray, config: TwoTowerConfig,
+    batch: int = 8192,
+) -> np.ndarray:
+    """Item-tower embeddings for the whole catalog (serving-side corpus)."""
+    model = TwoTower(config)
+    apply = jax.jit(partial(model.apply, method=TwoTower.embed_item))
+    out = []
+    for s in range(0, features.shape[0], batch):
+        out.append(np.asarray(apply(params, jnp.asarray(features[s : s + batch]))))
+    return np.concatenate(out, axis=0)
+
+
+def embed_queries(
+    params: Dict, features: np.ndarray, config: TwoTowerConfig
+) -> np.ndarray:
+    model = TwoTower(config)
+    apply = jax.jit(partial(model.apply, method=TwoTower.embed_query))
+    return np.asarray(apply(params, jnp.asarray(features)))
+
+
+def save_model(path: str, params: Dict, config: TwoTowerConfig) -> None:
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        pickle.dump(
+            {
+                "params": serialization.to_bytes(params),
+                "config": dataclasses.asdict(config),
+            },
+            f,
+        )
+    log.info("two-tower model saved: %s", path)
+
+
+def load_model(path: str) -> Tuple[Dict, TwoTowerConfig]:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    config = TwoTowerConfig(**blob["config"])
+    model = TwoTower(config)
+    feat_dim = 12
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, feat_dim)),
+        jnp.zeros((1, feat_dim)),
+    )
+    params = serialization.from_bytes(template, blob["params"])
+    return params, config
+
+
+def train_from_cli(catalog_path: str, config: TwoTowerConfig, output: str) -> int:
+    from spotify_recommender_tpu.data.catalog import Catalog
+
+    cat = Catalog.load(catalog_path)
+    result = train(cat.features, cat.genre_ids, config)
+    save_model(output, result.params, config)
+    print(f"two-tower trained: final loss {result.losses[-1]:.4f}")
+    return 0
+
+
+def dryrun_train_step(mesh: Mesh) -> None:
+    """Graft-driver hook: one data-parallel train step on tiny shapes over
+    all devices of `mesh` (re-laid out onto a pure 'data' axis)."""
+    devices = np.asarray(mesh.devices).reshape(-1)
+    dp_mesh = Mesh(devices.reshape(len(devices), 1), ("data", "model"))
+    n = len(devices)
+    config = TwoTowerConfig(
+        embedding_dim=8, hidden_dims=(16,), batch_size=4 * n, num_steps=1
+    )
+    rng = np.random.default_rng(0)
+    feats = rng.random((64, 12)).astype(np.float32)
+    genres = rng.integers(0, 4, size=64).astype(np.int32)
+    result = train(feats, genres, config, mesh=dp_mesh)
+    assert np.isfinite(result.losses[-1])

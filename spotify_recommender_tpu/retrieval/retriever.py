@@ -77,6 +77,19 @@ class Retriever:
             self._norms = jax.device_put(catalog.norms)
 
         self._backend = self._select_backend()
+        self._fused = None
+        if self._backend == "pallas":
+            try:
+                from spotify_recommender_tpu.ops.pallas.fused_topk import (
+                    FusedRetriever,
+                )
+
+                self._fused = FusedRetriever(
+                    catalog.features, catalog.norms, self.config
+                )
+            except Exception as e:
+                log.warning("pallas init failed (%s); using XLA backend", e)
+                self._backend = "xla"
         log.info(
             "retriever ready: %d items, backend=%s, mesh=%s",
             len(catalog),
@@ -112,18 +125,7 @@ class Retriever:
             return self._sharded.retrieve(queries, k, exclude_rows)
         if self._backend == "pallas":
             try:
-                from spotify_recommender_tpu.ops.pallas.fused_topk import (
-                    fused_score_topk,
-                )
-
-                return fused_score_topk(
-                    queries,
-                    self._features,
-                    self._norms,
-                    k=k,
-                    exclude_rows=exclude_rows,
-                    config=self.config,
-                )
+                return self._fused(queries, k, exclude_rows)
             except Exception as e:  # pragma: no cover - fallback safety net
                 log.warning("pallas backend failed (%s); falling back to XLA", e)
                 self._backend = "xla"

@@ -1,0 +1,3 @@
+from spotify_recommender_tpu.serve.server import serve, RecommenderService
+
+__all__ = ["serve", "RecommenderService"]

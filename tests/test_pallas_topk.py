@@ -1,0 +1,109 @@
+"""Fused Pallas score+top-k kernel vs the jnp oracle
+(interpret mode on CPU; compiled path exercised on TPU by bench/CLI)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spotify_recommender_tpu.core.config import RetrievalConfig
+from spotify_recommender_tpu.ops.pallas.fused_topk import (
+    FusedRetriever,
+    fused_score_topk,
+)
+from spotify_recommender_tpu.ops.similarity import exact_topk
+
+
+def random_features(n, d=12, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.random((n, d)).astype(np.float32)
+
+
+def oracle(queries, feats, k, exclude=None):
+    return exact_topk(
+        jnp.asarray(queries),
+        jnp.asarray(feats),
+        exclude_rows=None if exclude is None else jnp.asarray(exclude),
+        k=k,
+    )
+
+
+CFG = RetrievalConfig(query_tile=16, catalog_tile=128)
+
+
+class TestFusedKernelInterpret:
+    @pytest.mark.parametrize("n,b,k", [(500, 8, 10), (1000, 33, 7), (128, 5, 3)])
+    def test_matches_oracle(self, n, b, k):
+        feats = random_features(n, seed=n)
+        queries = feats[:b]
+        o_s, o_i = oracle(queries, feats, k)
+        f_s, f_i = fused_score_topk(
+            jnp.asarray(queries), feats, k=k, config=CFG, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(f_i), np.asarray(o_i))
+        np.testing.assert_allclose(
+            np.asarray(f_s), np.asarray(o_s), rtol=1e-6, atol=1e-7
+        )
+
+    def test_exclusion(self):
+        feats = random_features(300, seed=1)
+        b = 12
+        excl = np.arange(b, dtype=np.int32)
+        o_s, o_i = oracle(feats[:b], feats, 10, exclude=excl)
+        f_s, f_i = fused_score_topk(
+            jnp.asarray(feats[:b]), feats, k=10,
+            exclude_rows=jnp.asarray(excl), config=CFG, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(f_i), np.asarray(o_i))
+        rows = np.asarray(f_i)
+        for i in range(b):
+            assert i not in rows[i]
+
+    def test_unaligned_catalog(self):
+        # catalog size not a multiple of the tile: pad rows must never win
+        feats = random_features(137, seed=2)
+        o_s, o_i = oracle(feats[:4], feats, 10)
+        f_s, f_i = fused_score_topk(
+            jnp.asarray(feats[:4]), feats, k=10, config=CFG, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(f_i), np.asarray(o_i))
+        assert np.asarray(f_i).max() < 137
+
+    def test_zero_norm_rows_score_zero(self):
+        # guard: denom <= 1e-8 -> score 0 (reference Recommender.cu:67-72).
+        # With a negative query every real row scores < 0, so the zero-norm
+        # row's guarded 0.0 must surface as the best hit.
+        feats = random_features(200, seed=3) + 0.1
+        feats[50] = 0.0
+        q = -np.ones((2, 12), np.float32)
+        f_s, f_i = fused_score_topk(
+            jnp.asarray(q), feats, k=3, config=CFG, interpret=True
+        )
+        assert list(np.asarray(f_i)[:, 0]) == [50, 50]
+        assert (np.asarray(f_s)[:, 0] == 0.0).all()
+
+    def test_ties_prefer_lowest_index(self):
+        feats = np.ones((64, 12), np.float32)
+        f_s, f_i = fused_score_topk(
+            jnp.asarray(feats[:1]), feats, k=5, config=CFG, interpret=True
+        )
+        assert list(np.asarray(f_i)[0]) == [0, 1, 2, 3, 4]
+
+    def test_reused_retriever_multiple_batches(self):
+        feats = random_features(400, seed=4)
+        fr = FusedRetriever(feats, config=CFG, interpret=True)
+        for b, seed in [(3, 0), (17, 1)]:
+            rng = np.random.default_rng(seed)
+            q = rng.random((b, 12)).astype(np.float32)
+            o_s, o_i = oracle(q, feats, 10)
+            f_s, f_i = fr(jnp.asarray(q), 10)
+            np.testing.assert_array_equal(np.asarray(f_i), np.asarray(o_i))
+
+    def test_multi_query_tiles(self):
+        # B spans several query tiles (tq=16 -> 3 tiles)
+        feats = random_features(256, seed=5)
+        q = feats[:40]
+        o_s, o_i = oracle(q, feats, 10)
+        f_s, f_i = fused_score_topk(
+            jnp.asarray(q), feats, k=10, config=CFG, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(f_i), np.asarray(o_i))

@@ -1,0 +1,98 @@
+"""HTTP serving layer: service core + live server round-trip."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from spotify_recommender_tpu.core.config import RetrievalConfig
+from spotify_recommender_tpu.data.catalog import from_raw_table
+from spotify_recommender_tpu.data.csv_ingest import ingest_csv
+from spotify_recommender_tpu.serve.server import RecommenderService, make_server
+
+
+@pytest.fixture(scope="module")
+def catalog(tmp_path_factory):
+    from conftest import make_songs_csv
+
+    p = make_songs_csv(tmp_path_factory.mktemp("serve") / "songs.csv", n_rows=100)
+    return from_raw_table(ingest_csv(str(p), use_native=False))
+
+
+@pytest.fixture(scope="module")
+def service(catalog):
+    return RecommenderService(catalog, RetrievalConfig(use_pallas=False))
+
+
+class TestService:
+    def test_recommend_by_name(self, service):
+        out = service.recommend("Song 5", by_id=False, k=3)
+        assert out["status"] == 200
+        assert len(out["results"]) == 3
+        assert out["query"]["track_name"] == "Song 5"
+
+    def test_recommend_missing(self, service):
+        out = service.recommend("zzz", by_id=False, k=3)
+        assert out["status"] == 404
+
+    def test_retrieve_batched(self, service, catalog):
+        out = service.retrieve(catalog.features[:4].tolist(), k=5)
+        assert out["status"] == 200
+        assert np.asarray(out["rows"]).shape == (4, 5)
+
+    def test_retrieve_bad_shape(self, service):
+        out = service.retrieve([[1.0, 2.0]], k=5)
+        assert out["status"] == 400
+
+    def test_health(self, service):
+        h = service.health()
+        assert h["status"] == "ok" and h["num_items"] == 100
+
+
+class TestHTTPServer:
+    @pytest.fixture(scope="class")
+    def server(self, catalog):
+        srv = make_server(catalog, "127.0.0.1", 0, RetrievalConfig(use_pallas=False))
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{port}"
+        srv.shutdown()
+        srv.server_close()
+
+    def test_healthz(self, server):
+        with urllib.request.urlopen(f"{server}/healthz") as r:
+            body = json.load(r)
+        assert body["num_items"] == 100
+
+    def test_recommend_roundtrip(self, server):
+        with urllib.request.urlopen(f"{server}/recommend?song=Song%207&n=4") as r:
+            body = json.load(r)
+        assert len(body["results"]) == 4
+        assert all(x["track_name"] != "Song 7" for x in body["results"])
+
+    def test_recommend_404(self, server):
+        try:
+            urllib.request.urlopen(f"{server}/recommend?song=zzz-none")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+    def test_post_retrieve(self, server, catalog):
+        req = urllib.request.Request(
+            f"{server}/retrieve",
+            data=json.dumps(
+                {"queries": catalog.features[:2].tolist(), "k": 3}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.load(r)
+        assert np.asarray(body["rows"]).shape == (2, 3)
+
+    def test_song_endpoint(self, server):
+        with urllib.request.urlopen(f"{server}/song/3") as r:
+            body = json.load(r)
+        assert body["song"]["row"] == 3

@@ -1,0 +1,116 @@
+"""Two-tower model: training, loss behavior, serving integration."""
+
+import numpy as np
+import pytest
+
+from spotify_recommender_tpu.core.config import MeshConfig, TwoTowerConfig
+from spotify_recommender_tpu.core.mesh import make_mesh
+from spotify_recommender_tpu.models import two_tower
+
+
+@pytest.fixture(scope="module")
+def clustered_data():
+    """Features with clear genre clusters so same-genre pairs are learnable."""
+    rng = np.random.default_rng(0)
+    n, g = 400, 4
+    genre_ids = np.repeat(np.arange(g), n // g).astype(np.int32)
+    centers = rng.random((g, 12)).astype(np.float32)
+    feats = centers[genre_ids] + 0.05 * rng.standard_normal((n, 12)).astype(
+        np.float32
+    )
+    return feats.astype(np.float32), genre_ids
+
+
+SMALL = TwoTowerConfig(
+    embedding_dim=16, hidden_dims=(32,), batch_size=64, num_steps=150,
+    learning_rate=3e-3, seed=0,
+)
+
+
+class TestTraining:
+    def test_loss_decreases(self, clustered_data):
+        feats, genres = clustered_data
+        result = two_tower.train(feats, genres, SMALL)
+        assert result.losses[-1] < result.losses[0]
+
+    def test_learned_embeddings_cluster_by_genre(self, clustered_data):
+        feats, genres = clustered_data
+        result = two_tower.train(feats, genres, SMALL)
+        emb = two_tower.embed_catalog(result.params, feats, SMALL)
+        # mean intra-genre similarity must exceed inter-genre
+        sims = emb @ emb.T
+        same = genres[:, None] == genres[None, :]
+        intra = sims[same & ~np.eye(len(feats), dtype=bool)].mean()
+        inter = sims[~same].mean()
+        assert intra > inter + 0.2, (intra, inter)
+
+    def test_embeddings_unit_norm(self, clustered_data):
+        feats, genres = clustered_data
+        cfg = TwoTowerConfig(embedding_dim=8, hidden_dims=(16,), batch_size=32,
+                             num_steps=3)
+        result = two_tower.train(feats, genres, cfg)
+        emb = two_tower.embed_catalog(result.params, feats, cfg)
+        np.testing.assert_allclose(
+            np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5
+        )
+
+
+class TestDataParallel:
+    def test_dp_train_step_runs(self, clustered_data):
+        feats, genres = clustered_data
+        mesh = make_mesh(MeshConfig(data=8, catalog=1))
+        cfg = TwoTowerConfig(
+            embedding_dim=8, hidden_dims=(16,), batch_size=64, num_steps=5,
+        )
+        result = two_tower.train(feats, genres, cfg, mesh=mesh)
+        assert np.isfinite(result.losses[-1])
+
+    def test_dp_matches_single_device_loss_scale(self, clustered_data):
+        # dp and single-device runs should land in the same loss ballpark
+        feats, genres = clustered_data
+        cfg = TwoTowerConfig(
+            embedding_dim=8, hidden_dims=(16,), batch_size=64, num_steps=30,
+            seed=3,
+        )
+        single = two_tower.train(feats, genres, cfg)
+        mesh = make_mesh(MeshConfig(data=8, catalog=1))
+        dp = two_tower.train(feats, genres, cfg, mesh=mesh)
+        assert abs(single.losses[-1] - dp.losses[-1]) < 1.0
+
+    def test_dryrun_hook(self):
+        mesh = make_mesh(MeshConfig(data=1, catalog=8))
+        two_tower.dryrun_train_step(mesh)
+
+
+class TestServingIntegration:
+    def test_retrieval_with_learned_embeddings(self, clustered_data):
+        from spotify_recommender_tpu.ops.similarity import exact_topk
+        import jax.numpy as jnp
+
+        feats, genres = clustered_data
+        result = two_tower.train(feats, genres, SMALL)
+        item_emb = two_tower.embed_catalog(result.params, feats, SMALL)
+        q_emb = two_tower.embed_queries(result.params, feats[:8], SMALL)
+        scores, rows = exact_topk(
+            jnp.asarray(q_emb), jnp.asarray(item_emb), k=10,
+            exclude_rows=jnp.arange(8, dtype=jnp.int32),
+        )
+        rows = np.asarray(rows)
+        # retrieved neighbors should be dominated by the query's own genre
+        for b in range(8):
+            same = (genres[rows[b]] == genres[b]).mean()
+            assert same > 0.6, (b, same)
+
+
+class TestModelIO:
+    def test_save_load_round_trip(self, tmp_path, clustered_data):
+        feats, genres = clustered_data
+        cfg = TwoTowerConfig(embedding_dim=8, hidden_dims=(16,), num_steps=2,
+                             batch_size=16)
+        result = two_tower.train(feats, genres, cfg)
+        p = str(tmp_path / "tt.pkl")
+        two_tower.save_model(p, result.params, cfg)
+        params, cfg2 = two_tower.load_model(p)
+        e1 = two_tower.embed_catalog(result.params, feats[:10], cfg)
+        e2 = two_tower.embed_catalog(params, feats[:10], cfg2)
+        np.testing.assert_allclose(e1, e2, rtol=1e-6)
