@@ -80,8 +80,8 @@ def run_benchmark(
 
             fr = FusedRetriever(feats, norms)
 
-            def step():
-                return fr(dev_queries, k, dev_excl)
+            def step(q):
+                return fr(q, k, dev_excl)
 
             chosen = "pallas"
         except Exception as e:
@@ -90,10 +90,9 @@ def run_benchmark(
     if not use_pallas:
         from spotify_recommender_tpu.ops.similarity import exact_topk
 
-        def step():
+        def step(q):
             return exact_topk(
-                dev_queries, dev_feats, dev_norms,
-                exclude_rows=dev_excl, k=k,
+                q, dev_feats, dev_norms, exclude_rows=dev_excl, k=k,
             )
 
         chosen = "xla"
@@ -101,17 +100,21 @@ def run_benchmark(
     # Warmup (compile)
     t0 = time.perf_counter()
     for _ in range(max(1, warmup)):
-        scores, rows = step()
+        scores, rows = step(dev_queries)
     jax.block_until_ready((scores, rows))
     compile_time = time.perf_counter() - t0
 
-    times = []
+    # Honest timing: iterations are CHAINED by a data dependency (each
+    # batch depends on the previous output) and fenced by a host transfer.
+    # Plain per-call block_until_ready is not trustworthy on tunneled
+    # device backends, which can ack before execution completes.
+    t0 = time.perf_counter()
+    cur = dev_queries
     for _ in range(iters):
-        t0 = time.perf_counter()
-        out = step()
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    t_med = float(np.median(times))
+        scores, rows = step(cur)
+        cur = dev_queries + 0.0 * scores[0, 0]
+    float(scores[0, 0])  # host readback: full chain must have executed
+    t_med = (time.perf_counter() - t0) / iters
     qps = num_queries / t_med
 
     # HBM roofline context: the score pass must stream the catalog once.
@@ -130,7 +133,7 @@ def run_benchmark(
             "num_queries": num_queries,
             "feature_dim": feature_dim,
             "k": k,
-            "median_batch_latency_ms": round(t_med * 1e3, 3),
+            "batch_latency_ms": round(t_med * 1e3, 3),
             "effective_catalog_stream_GBps": round(gbps, 1),
             "compile_plus_warmup_s": round(compile_time, 2),
         },

@@ -46,37 +46,15 @@ NEG_INF = np.float32(-np.inf)
 _BIG_I32 = np.int32(2**30)
 
 
-def _extract_topk(
-    comb_s: jnp.ndarray, comb_i: jnp.ndarray, k: int
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """K-step extract-max with first-occurrence (lowest-position) selection.
-
-    Candidate columns must be ordered so that lower positions hold lower
-    global indices (scratch first, then the tile in index order) — then
-    ties resolve to the lowest global index, matching lax.top_k and the
-    pinned reference heap semantics.
-    """
-    tq = comb_s.shape[0]
-    pos = jax.lax.broadcasted_iota(jnp.int32, comb_s.shape, 1)
-    out_s = []
-    out_i = []
-    for _ in range(k):
-        m = jnp.max(comb_s, axis=1, keepdims=True)            # (TQ, 1)
-        is_max = comb_s == m
-        first = jnp.min(
-            jnp.where(is_max, pos, _BIG_I32), axis=1, keepdims=True
-        )                                                      # (TQ, 1)
-        hit = pos == first
-        sel_i = jnp.max(
-            jnp.where(hit, comb_i, jnp.int32(-1)), axis=1
-        )                                                      # (TQ,)
-        out_s.append(m[:, 0])
-        out_i.append(sel_i)
-        comb_s = jnp.where(hit, NEG_INF, comb_s)
-    return (
-        jnp.stack(out_s, axis=1),
-        jnp.stack(out_i, axis=1),
+def _max_and_argmax(scores: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row max and FIRST (lowest-lane) argmax — the lowest-index tie
+    rule, matching lax.top_k and the pinned reference heap semantics."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    m = jnp.max(scores, axis=1)
+    am = jnp.min(
+        jnp.where(scores == m[:, None], lane, _BIG_I32), axis=1
     )
+    return m, am
 
 
 def _fused_kernel(
@@ -87,16 +65,30 @@ def _fused_kernel(
     excl_ref,     # (TQ, 1)   excluded global row per query (-1 = none)
     out_s_ref,    # (TQ, K)   output scores
     out_i_ref,    # (TQ, K)   output indices
-    r_s,          # scratch (TQ, K) running top-k scores
+    r_s,          # scratch (TQ, K) running top-k scores (sorted desc)
     r_i,          # scratch (TQ, K) running top-k indices
+    s_scr,        # scratch (TQ, TC) tile scores (mutated during inserts)
     *,
     k: int,
     tc: int,
     num_items: int,
     eps: float,
 ):
+    """Tournament-insert top-k (see module docstring).
+
+    Per tile: one MXU dot + cosine epilogue + per-query max.  The running
+    top-k is updated by a while-loop of *single-candidate inserts*: each
+    round takes every query's current tile max, inserts it into that
+    query's sorted (scores, indices) lists where it beats the k-th best,
+    masks it from the tile, and stops as soon as NO query can improve.
+    Expected rounds per tile ≈ 0 in steady state (the k-th-best threshold
+    rises fast), so the amortized cost stays at dot + ~4 VPU passes —
+    unlike a full K-pass extraction per tile, which costs ~5·K passes on
+    every tile whose max beats any query's threshold (frequent for
+    concentrated score distributions)."""
     cj = pl.program_id(1)
     num_cj = pl.num_programs(1)
+    tq = r_s.shape[0]
 
     @pl.when(cj == 0)
     def _init():
@@ -118,25 +110,54 @@ def _fused_kernel(
         guard, jnp.clip(dots / safe, -1.0, 1.0), jnp.float32(0.0)
     )
 
-    # global column ids of this tile; mask padding + self-exclusion
-    gcols = cj * tc + jax.lax.broadcasted_iota(
-        jnp.int32, scores.shape, 1
-    )
-    scores = jnp.where(gcols >= num_items, NEG_INF, scores)
-    scores = jnp.where(gcols == excl_ref[:], NEG_INF, scores)
+    # mask padding + self-exclusion (row vectors broadcast over TQ)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
+    gcol_row = cj * tc + lane_row                               # (1, TC)
+    scores = jnp.where(gcol_row >= num_items, NEG_INF, scores)
+    scores = jnp.where(gcol_row == excl_ref[:], NEG_INF, scores)
 
-    # --- merge into running top-k only if this tile can improve ----------
-    tile_max = jnp.max(scores, axis=1)                         # (TQ,)
-    kth_best = r_s[:, k - 1]
-    improves = jnp.any(tile_max > kth_best)
+    m0, am0 = _max_and_argmax(scores)
+    go0 = jnp.any(m0 > r_s[:, k - 1])
 
-    @pl.when(improves)
-    def _merge():
-        comb_s = jnp.concatenate([r_s[:], scores], axis=1)
-        comb_i = jnp.concatenate([r_i[:], gcols], axis=1)
-        new_s, new_i = _extract_topk(comb_s, comb_i, k)
-        r_s[:] = new_s
-        r_i[:] = new_i
+    @pl.when(go0)
+    def _insert_rounds():
+        s_scr[:] = scores
+        posk = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
+
+        def cond(carry):
+            return carry[0]
+
+        def body(carry):
+            _, m, am = carry
+            need = m > r_s[:, k - 1]                           # (TQ,)
+            # insertion index: count of entries >= m (ties keep the
+            # earlier-inserted = lower-index entry ahead)
+            ge = jnp.sum(
+                (r_s[:] >= m[:, None]).astype(jnp.int32), axis=1
+            )                                                  # (TQ,)
+            gidx = cj * tc + am                                # (TQ,)
+            rolled_s = pltpu.roll(r_s[:], 1, axis=1)
+            rolled_i = pltpu.roll(r_i[:], 1, axis=1)
+            at = posk == ge[:, None]
+            before = posk < ge[:, None]
+            new_s = jnp.where(
+                before, r_s[:], jnp.where(at, m[:, None], rolled_s)
+            )
+            new_i = jnp.where(
+                before, r_i[:], jnp.where(at, gidx[:, None], rolled_i)
+            )
+            nd = need[:, None]
+            r_s[:] = jnp.where(nd, new_s, r_s[:])
+            r_i[:] = jnp.where(nd, new_i, r_i[:])
+            # knock the inserted candidate out of the tile
+            lane = jax.lax.broadcasted_iota(jnp.int32, s_scr.shape, 1)
+            s_scr[:] = jnp.where(
+                nd & (lane == am[:, None]), NEG_INF, s_scr[:]
+            )
+            m2, am2 = _max_and_argmax(s_scr[:])
+            return jnp.any(m2 > r_s[:, k - 1]), m2, am2
+
+        jax.lax.while_loop(cond, body, (go0, m0, am0))
 
     @pl.when(cj == num_cj - 1)
     def _write():
@@ -195,9 +216,11 @@ def _fused_call(
         scratch_shapes=[
             pltpu.VMEM((tq, k), jnp.float32),
             pltpu.VMEM((tq, k), jnp.int32),
+            pltpu.VMEM((tq, tc), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
