@@ -63,6 +63,27 @@ class Catalog:
     def __len__(self) -> int:
         return self.features.shape[0]
 
+    def validate(self) -> None:
+        """Fail-fast artifact validation (SURVEY.md §5 failure-detection:
+        the reference trusts its binary blindly, DataManager.cpp:363-409;
+        we verify structural integrity on load)."""
+        n = len(self)
+        problems = []
+        for name in ("norms", "track_ids", "track_names", "artists", "genre_ids"):
+            arr = getattr(self, name)
+            if len(arr) != n:
+                problems.append(f"{name} has {len(arr)} entries, expected {n}")
+        if n and not np.isfinite(self.features).all():
+            problems.append("features contain non-finite values")
+        if n and self.genre_ids.size:
+            gmax = int(self.genre_ids.max())
+            if gmax >= len(self.genre_names):
+                problems.append(
+                    f"genre_id {gmax} out of range ({len(self.genre_names)} genres)"
+                )
+        if problems:
+            raise ValueError("corrupt catalog: " + "; ".join(problems))
+
     @property
     def num_genres(self) -> int:
         return len(self.genre_names)
@@ -114,6 +135,7 @@ class Catalog:
                 min_vals=z["min_vals"],
                 max_vals=z["max_vals"],
             )
+        cat.validate()
         log.info("catalog loaded: %s (%d items)", path, len(cat))
         return cat
 

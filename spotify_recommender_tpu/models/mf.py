@@ -140,9 +140,7 @@ def synthetic_interactions(
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("reg", "alpha"))
-def _als_half_step(
-    solve_for: jnp.ndarray,    # unused placeholder for donate symmetry
+def _als_solve(
     other: jnp.ndarray,        # (M, D) fixed factor table
     item_idx: jnp.ndarray,     # (N, md) int32 neighbor ids into `other`
     confidence: jnp.ndarray,   # (N, md) float32
@@ -150,13 +148,17 @@ def _als_half_step(
     reg: float,
     alpha: float,
 ) -> jnp.ndarray:
-    """One ALS half-step: re-solve every row of `solve_for` given `other`.
+    """One ALS half-step: re-solve every row given the fixed `other` table.
 
     Implements the implicit-feedback normal equations with the Gramian
-    trick; all N solves run as one batched Cholesky.
+    trick; all N solves run as one batched Cholesky.  Fully-masked rows
+    (padding) solve (G + λI) x = 0 → 0, harmlessly.
     """
     d = other.shape[1]
-    gram = other.T @ other                                # (D, D) MXU
+    gram = jnp.dot(
+        other.T, other, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                     # (D, D) MXU
     y = other[item_idx]                                   # (N, md, D) gather
     w = jnp.where(mask, alpha * confidence, 0.0)          # (N, md)
     cpref = jnp.where(mask, 1.0 + alpha * confidence, 0.0)
@@ -171,42 +173,109 @@ def _als_half_step(
     return jax.scipy.linalg.cho_solve(chol, b)
 
 
+@partial(jax.jit, static_argnames=("reg", "alpha"))
+def _als_half_step(
+    solve_for: jnp.ndarray,    # unused placeholder, keeps call symmetry
+    other: jnp.ndarray,
+    item_idx: jnp.ndarray,
+    confidence: jnp.ndarray,
+    mask: jnp.ndarray,
+    reg: float,
+    alpha: float,
+) -> jnp.ndarray:
+    del solve_for
+    return _als_solve(other, item_idx, confidence, mask, reg, alpha)
+
+
+def make_sharded_half_step(mesh, reg: float, alpha: float, axis: str = "catalog"):
+    """ALS half-step sharded over the solve axis: each device solves its
+    row-shard of users (or items) against the replicated `other` table —
+    the canonical ALS scale-out (solves are row-independent).  Inputs must
+    be padded to a multiple of the axis size (train_als handles this)."""
+    from jax.sharding import PartitionSpec as P
+
+    body = partial(_als_solve, reg=reg, alpha=alpha)
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P(axis, None), P(axis, None)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+
+
+def _pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
+    pad = (-x.shape[0]) % multiple
+    if pad == 0:
+        return x
+    return np.concatenate(
+        [x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+    )
+
+
 def train_als(
     inter: Interactions,
     config: MFConfig,
     item_view: Optional[Interactions] = None,
     callback=None,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Full alternating loop. Returns (user_factors, item_factors)."""
+    """Full alternating loop. Returns (user_factors, item_factors).
+
+    With a mesh, each half-step's solves are row-sharded over the mesh's
+    "catalog" axis (device-data-parallel ALS)."""
     rng = np.random.default_rng(config.seed)
     d = config.embedding_dim
     scale = 1.0 / np.sqrt(d)
-    users = jnp.asarray(rng.normal(size=(inter.num_users, d)) * scale, jnp.float32)
-    items = jnp.asarray(rng.normal(size=(inter.num_items, d)) * scale, jnp.float32)
     if item_view is None:
         item_view = inter.transpose()
 
-    u_idx = jnp.asarray(inter.item_idx)
-    u_conf = jnp.asarray(inter.confidence)
-    u_mask = jnp.asarray(inter.mask)
-    i_idx = jnp.asarray(item_view.item_idx)
-    i_conf = jnp.asarray(item_view.confidence)
-    i_mask = jnp.asarray(item_view.mask)
+    n_shards = mesh.shape["catalog"] if mesh is not None else 1
+    u_idx = jnp.asarray(_pad_rows(inter.item_idx, n_shards))
+    u_conf = jnp.asarray(_pad_rows(inter.confidence, n_shards))
+    u_mask = jnp.asarray(_pad_rows(inter.mask, n_shards))
+    i_idx = jnp.asarray(_pad_rows(item_view.item_idx, n_shards))
+    i_conf = jnp.asarray(_pad_rows(item_view.confidence, n_shards))
+    i_mask = jnp.asarray(_pad_rows(item_view.mask, n_shards))
+    # init with UNPADDED shapes so results are invariant to shard count,
+    # then zero-pad to the sharded row count
+    users = _pad_rows(
+        (rng.normal(size=(inter.num_users, d)) * scale).astype(np.float32),
+        n_shards,
+    )
+    items = _pad_rows(
+        (rng.normal(size=(inter.num_items, d)) * scale).astype(np.float32),
+        n_shards,
+    )
+    users = jnp.asarray(users)
+    items = jnp.asarray(items)
+
+    if mesh is not None:
+        step = make_sharded_half_step(mesh, config.reg, config.alpha)
+
+        def half(_, other, idx, conf, mask):
+            return step(other, idx, conf, mask)
+
+    else:
+        half = partial(
+            _als_half_step, reg=config.reg, alpha=config.alpha
+        )
 
     timer = PhaseTimer()
     for it in range(config.num_iterations):
         with timer.phase(f"iter{it}"):
-            users = _als_half_step(
-                users, items, u_idx, u_conf, u_mask, config.reg, config.alpha
-            )
-            items = _als_half_step(
-                items, users, i_idx, i_conf, i_mask, config.reg, config.alpha
-            )
+            users = half(users, items, u_idx, u_conf, u_mask)
+            items = half(items, users, i_idx, i_conf, i_mask)
             jax.block_until_ready(items)
         if callback is not None:
-            callback(it, users, items)
+            callback(it, users[: inter.num_users], items[: inter.num_items])
     log.info("ALS done: %s", timer.report())
-    return np.asarray(users), np.asarray(items)
+    return (
+        np.asarray(users[: inter.num_users]),
+        np.asarray(items[: inter.num_items]),
+    )
 
 
 # --------------------------------------------------------------------------

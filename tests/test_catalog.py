@@ -76,3 +76,34 @@ class TestPreprocessEndToEnd:
         # all features within [0, 1] after min-max + genre encoding
         assert float(loaded.features.min()) >= 0.0
         assert float(loaded.features.max()) <= 1.0
+
+
+class TestValidation:
+    def test_corrupt_genre_id_rejected(self, catalog, tmp_path):
+        import copy
+
+        bad = copy.deepcopy(catalog)
+        bad.genre_ids = bad.genre_ids.copy()
+        bad.genre_ids[0] = 999
+        with pytest.raises(ValueError, match="out of range"):
+            bad.validate()
+
+    def test_nan_features_rejected(self, catalog):
+        import copy
+
+        bad = copy.deepcopy(catalog)
+        bad.features = bad.features.copy()
+        bad.features[0, 0] = np.nan
+        with pytest.raises(ValueError, match="non-finite"):
+            bad.validate()
+
+    def test_length_mismatch_rejected(self, catalog):
+        import copy
+
+        bad = copy.deepcopy(catalog)
+        bad.norms = bad.norms[:-1]
+        with pytest.raises(ValueError, match="norms"):
+            bad.validate()
+
+    def test_good_catalog_passes(self, catalog):
+        catalog.validate()
