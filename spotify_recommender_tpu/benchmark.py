@@ -97,24 +97,25 @@ def run_benchmark(
 
         chosen = "xla"
 
-    # Warmup (compile)
+    def chain(n: int) -> float:
+        """n chained retrievals (each batch depends on the previous
+        output) fenced by a host readback — the only honest timing on
+        tunneled device backends, which can ack block_until_ready before
+        execution completes."""
+        t0 = time.perf_counter()
+        cur = dev_queries
+        for _ in range(n):
+            scores, rows = step(cur)
+            cur = dev_queries + 0.0 * scores[0, 0]
+        float(scores[0, 0])
+        return (time.perf_counter() - t0) / n
+
+    # Warmup compiles BOTH the retrieval step and the chain-dependency op.
     t0 = time.perf_counter()
-    for _ in range(max(1, warmup)):
-        scores, rows = step(dev_queries)
-    jax.block_until_ready((scores, rows))
+    chain(max(1, warmup))
     compile_time = time.perf_counter() - t0
 
-    # Honest timing: iterations are CHAINED by a data dependency (each
-    # batch depends on the previous output) and fenced by a host transfer.
-    # Plain per-call block_until_ready is not trustworthy on tunneled
-    # device backends, which can ack before execution completes.
-    t0 = time.perf_counter()
-    cur = dev_queries
-    for _ in range(iters):
-        scores, rows = step(cur)
-        cur = dev_queries + 0.0 * scores[0, 0]
-    float(scores[0, 0])  # host readback: full chain must have executed
-    t_med = (time.perf_counter() - t0) / iters
+    t_med = chain(iters)
     qps = num_queries / t_med
 
     # HBM roofline context: the score pass must stream the catalog once.

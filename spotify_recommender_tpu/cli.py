@@ -145,6 +145,46 @@ def cmd_train_two_tower(args) -> int:
     return two_tower.train_from_cli(args.catalog, cfg, args.output)
 
 
+def cmd_embed_catalog(args) -> int:
+    import dataclasses as _dc
+
+    import numpy as np
+
+    from spotify_recommender_tpu.data.catalog import Catalog
+
+    cat = _load_catalog(args.catalog)
+    if args.two_tower:
+        from spotify_recommender_tpu.models import two_tower
+
+        params, cfg = two_tower.load_model(args.two_tower)
+        emb = two_tower.embed_catalog(params, cat.features, cfg)
+        source = f"two-tower {args.two_tower}"
+    else:
+        from spotify_recommender_tpu.models import mf
+
+        _, items = mf.load_model(args.mf)
+        if items.shape[0] != len(cat):
+            print(
+                f"Error: MF model has {items.shape[0]} items but catalog has "
+                f"{len(cat)} — they must be row-aligned",
+                file=sys.stderr,
+            )
+            return 1
+        emb = items.astype(np.float32)
+        source = f"MF {args.mf}"
+    out = _dc.replace(
+        cat,
+        features=emb,
+        norms=np.linalg.norm(emb, axis=1).astype(np.float32),
+        min_vals=np.zeros(emb.shape[1] - 1, np.float32),
+        max_vals=np.ones(emb.shape[1] - 1, np.float32),
+    )
+    out.save(args.output)
+    print(f"embedded catalog ({source}): {len(out)} items x {emb.shape[1]} dims")
+    print(f"saved to: {args.output}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     from spotify_recommender_tpu.serve.server import serve
 
@@ -193,6 +233,18 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--batch-size", type=int, default=1024)
     st.add_argument("--lr", type=float, default=1e-3)
     st.add_argument("--seed", type=int, default=0)
+
+    se = sub.add_parser(
+        "embed-catalog",
+        help="re-embed a catalog with a trained model; output plugs into "
+        "recommend/serve unchanged (learned and hand-crafted embeddings "
+        "share one serving path)",
+    )
+    se.add_argument("--catalog", default=DEFAULT_CATALOG)
+    g2 = se.add_mutually_exclusive_group(required=True)
+    g2.add_argument("--two-tower", help="two-tower model .pkl")
+    g2.add_argument("--mf", help="MF model .npz (item factors)")
+    se.add_argument("-o", "--output", default="embedded_catalog.npz")
 
     ss = sub.add_parser("serve", help="HTTP retrieval service")
     ss.add_argument("--catalog", default=DEFAULT_CATALOG)
@@ -275,6 +327,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return cmd_train_mf(args)
     if args.command == "train-two-tower":
         return cmd_train_two_tower(args)
+    if args.command == "embed-catalog":
+        return cmd_embed_catalog(args)
     if args.command == "serve":
         return cmd_serve(args)
     parser.print_help()

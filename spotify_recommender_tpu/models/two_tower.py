@@ -223,14 +223,21 @@ def embed_queries(
     return np.asarray(apply(params, jnp.asarray(features)))
 
 
-def save_model(path: str, params: Dict, config: TwoTowerConfig) -> None:
+def save_model(
+    path: str, params: Dict, config: TwoTowerConfig, feat_dim: Optional[int] = None
+) -> None:
     from flax import serialization
 
+    if feat_dim is None:
+        # recover the input width from the first Dense kernel
+        first = params["params"]["query_tower"]["Dense_0"]["kernel"]
+        feat_dim = int(first.shape[0])
     with open(path, "wb") as f:
         pickle.dump(
             {
                 "params": serialization.to_bytes(params),
                 "config": dataclasses.asdict(config),
+                "feat_dim": feat_dim,
             },
             f,
         )
@@ -244,7 +251,7 @@ def load_model(path: str) -> Tuple[Dict, TwoTowerConfig]:
         blob = pickle.load(f)
     config = TwoTowerConfig(**blob["config"])
     model = TwoTower(config)
-    feat_dim = 12
+    feat_dim = int(blob.get("feat_dim", 12))
     template = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, feat_dim)),

@@ -73,19 +73,23 @@ def _fused_kernel(
     tc: int,
     num_items: int,
     eps: float,
+    exact: bool,
 ):
     """Tournament-insert top-k (see module docstring).
 
-    Per tile: one MXU dot + cosine epilogue + per-query max.  The running
-    top-k is updated by a while-loop of *single-candidate inserts*: each
-    round takes every query's current tile max, inserts it into that
-    query's sorted (scores, indices) lists where it beats the k-th best,
-    masks it from the tile, and stops as soon as NO query can improve.
-    Expected rounds per tile ≈ 0 in steady state (the k-th-best threshold
-    rises fast), so the amortized cost stays at dot + ~4 VPU passes —
-    unlike a full K-pass extraction per tile, which costs ~5·K passes on
-    every tile whose max beats any query's threshold (frequent for
-    concentrated score distributions)."""
+    Per tile: one MXU dot + cosine epilogue + one per-query max.  The
+    running top-k is updated by a while-loop of *single-candidate
+    inserts*: each round takes every query's current tile max, inserts it
+    into that query's sorted (scores, indices) lists where it beats the
+    k-th best, masks it from the tile, and stops as soon as NO query can
+    improve.  Expected rounds per tile ≈ 0 in steady state (the k-th-best
+    threshold rises fast), so the amortized cost stays at dot + ~1 max
+    pass — the argmax and everything else is computed lazily inside the
+    loop body, only on rounds that actually insert.
+
+    `exact=True` reproduces the reference's division-form epilogue
+    (Recommender.cu:62-77); `exact=False` expects pre-normalized rows and
+    queries so the dot already IS the cosine (clamp only)."""
     cj = pl.program_id(1)
     num_cj = pl.num_programs(1)
     tq = r_s.shape[0]
@@ -103,61 +107,68 @@ def _fused_kernel(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )                                                          # (TQ, TC)
-    denom = qn_ref[:] * cn_ref[:]                              # (TQ, TC)
-    guard = denom > jnp.float32(eps)                           # ref :68
-    safe = jnp.where(guard, denom, jnp.float32(1.0))
-    scores = jnp.where(
-        guard, jnp.clip(dots / safe, -1.0, 1.0), jnp.float32(0.0)
-    )
+    if exact:
+        denom = qn_ref[:] * cn_ref[:]                          # (TQ, TC)
+        guard = denom > jnp.float32(eps)                       # ref :68
+        safe = jnp.where(guard, denom, jnp.float32(1.0))
+        scores = jnp.where(
+            guard, jnp.clip(dots / safe, -1.0, 1.0), jnp.float32(0.0)
+        )
+    else:
+        scores = jnp.clip(dots, -1.0, 1.0)
 
-    # mask padding + self-exclusion (row vectors broadcast over TQ)
+    # padding + self-exclusion in ONE masked select (row iota broadcasts)
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
     gcol_row = cj * tc + lane_row                               # (1, TC)
-    scores = jnp.where(gcol_row >= num_items, NEG_INF, scores)
-    scores = jnp.where(gcol_row == excl_ref[:], NEG_INF, scores)
+    bad = (gcol_row >= num_items) | (gcol_row == excl_ref[:])   # (TQ, TC)
+    scores = jnp.where(bad, NEG_INF, scores)
 
-    m0, am0 = _max_and_argmax(scores)
+    # steady-state per-tile cost ends here: one max + scalar any()
+    m0 = jnp.max(scores, axis=1)
     go0 = jnp.any(m0 > r_s[:, k - 1])
+    s_scr[:] = scores
+    posk = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
 
-    @pl.when(go0)
-    def _insert_rounds():
-        s_scr[:] = scores
-        posk = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
+    def cond(carry):
+        return carry[0]
 
-        def cond(carry):
-            return carry[0]
+    def body(carry):
+        _, m = carry
+        need = m > r_s[:, k - 1]                           # (TQ,)
+        # lazy argmax: first (lowest-lane) position of the row max
+        lane = jax.lax.broadcasted_iota(jnp.int32, s_scr.shape, 1)
+        am = jnp.min(
+            jnp.where(s_scr[:] == m[:, None], lane, _BIG_I32), axis=1
+        )
+        # insertion index: count of entries >= m (ties keep the
+        # earlier-inserted = lower-index entry ahead)
+        ge = jnp.sum(
+            (r_s[:] >= m[:, None]).astype(jnp.int32), axis=1
+        )                                                  # (TQ,)
+        gidx = cj * tc + am                                # (TQ,)
+        rolled_s = pltpu.roll(r_s[:], 1, axis=1)
+        rolled_i = pltpu.roll(r_i[:], 1, axis=1)
+        at = posk == ge[:, None]
+        before = posk < ge[:, None]
+        new_s = jnp.where(
+            before, r_s[:], jnp.where(at, m[:, None], rolled_s)
+        )
+        new_i = jnp.where(
+            before, r_i[:], jnp.where(at, gidx[:, None], rolled_i)
+        )
+        nd = need[:, None]
+        r_s[:] = jnp.where(nd, new_s, r_s[:])
+        r_i[:] = jnp.where(nd, new_i, r_i[:])
+        # knock the inserted candidate out of the tile
+        s_scr[:] = jnp.where(
+            nd & (lane == am[:, None]), NEG_INF, s_scr[:]
+        )
+        m2 = jnp.max(s_scr[:], axis=1)
+        return jnp.any(m2 > r_s[:, k - 1]), m2
 
-        def body(carry):
-            _, m, am = carry
-            need = m > r_s[:, k - 1]                           # (TQ,)
-            # insertion index: count of entries >= m (ties keep the
-            # earlier-inserted = lower-index entry ahead)
-            ge = jnp.sum(
-                (r_s[:] >= m[:, None]).astype(jnp.int32), axis=1
-            )                                                  # (TQ,)
-            gidx = cj * tc + am                                # (TQ,)
-            rolled_s = pltpu.roll(r_s[:], 1, axis=1)
-            rolled_i = pltpu.roll(r_i[:], 1, axis=1)
-            at = posk == ge[:, None]
-            before = posk < ge[:, None]
-            new_s = jnp.where(
-                before, r_s[:], jnp.where(at, m[:, None], rolled_s)
-            )
-            new_i = jnp.where(
-                before, r_i[:], jnp.where(at, gidx[:, None], rolled_i)
-            )
-            nd = need[:, None]
-            r_s[:] = jnp.where(nd, new_s, r_s[:])
-            r_i[:] = jnp.where(nd, new_i, r_i[:])
-            # knock the inserted candidate out of the tile
-            lane = jax.lax.broadcasted_iota(jnp.int32, s_scr.shape, 1)
-            s_scr[:] = jnp.where(
-                nd & (lane == am[:, None]), NEG_INF, s_scr[:]
-            )
-            m2, am2 = _max_and_argmax(s_scr[:])
-            return jnp.any(m2 > r_s[:, k - 1]), m2, am2
-
-        jax.lax.while_loop(cond, body, (go0, m0, am0))
+    # while_loop with a false initial condition runs zero rounds — no
+    # pl.when wrapper needed (and nesting control flow stalls Mosaic).
+    jax.lax.while_loop(cond, body, (go0, m0))
 
     @pl.when(cj == num_cj - 1)
     def _write():
@@ -171,7 +182,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tq", "tc", "num_items", "eps", "interpret"),
+    static_argnames=("k", "tq", "tc", "num_items", "eps", "exact", "interpret"),
 )
 def _fused_call(
     queries_p: jnp.ndarray,   # (Bp, F)
@@ -185,13 +196,14 @@ def _fused_call(
     tc: int,
     num_items: int,
     eps: float,
+    exact: bool = True,
     interpret: bool = False,
 ):
     bp, f = queries_p.shape
     np_ = features_t.shape[1]
     grid = (bp // tq, np_ // tc)
     kernel = functools.partial(
-        _fused_kernel, k=k, tc=tc, num_items=num_items, eps=eps
+        _fused_kernel, k=k, tc=tc, num_items=num_items, eps=eps, exact=exact
     )
     flops = 2 * bp * np_ * f
     bytes_accessed = (np_ * f + np_ + bp * f + bp) * 4 * (bp // tq)
@@ -231,7 +243,7 @@ def _fused_call(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tq", "tc", "num_items", "eps", "interpret"),
+    static_argnames=("k", "tq", "tc", "num_items", "eps", "exact", "interpret"),
 )
 def _prepare_and_call(
     queries: jnp.ndarray,
@@ -244,6 +256,7 @@ def _prepare_and_call(
     tc: int,
     num_items: int,
     eps: float,
+    exact: bool,
     interpret: bool,
 ):
     """Pad queries + compute norms + run the kernel as ONE jit program, so
@@ -252,6 +265,11 @@ def _prepare_and_call(
     bp = _round_up(b, tq)
     q_pad = jnp.zeros((bp, f), jnp.float32).at[:b].set(queries)
     qn = jnp.linalg.norm(q_pad, axis=1, keepdims=True)
+    if not exact:
+        # fast path: pre-normalize queries so the kernel's dot IS the
+        # cosine; zero-norm queries stay zero (score 0, matching the
+        # reference's guard semantics)
+        q_pad = q_pad / jnp.maximum(qn, jnp.float32(1e-30))
     if exclude_rows is None:
         excl = jnp.full((bp, 1), -1, jnp.int32)
     else:
@@ -262,7 +280,8 @@ def _prepare_and_call(
         )
     out_s, out_i = _fused_call(
         q_pad, qn, features_t, norms, excl,
-        k=k, tq=tq, tc=tc, num_items=num_items, eps=eps, interpret=interpret,
+        k=k, tq=tq, tc=tc, num_items=num_items, eps=eps, exact=exact,
+        interpret=interpret,
     )
     return out_s[:b], out_i[:b]
 
@@ -291,6 +310,11 @@ class FusedRetriever:
         feats = np.asarray(features, np.float32)
         if norms is None:
             norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        self.exact = config.exact_scores
+        if not self.exact:
+            # fast path: rows pre-normalized at build time; zero-norm rows
+            # stay zero (dot 0 -> score 0, same as the reference guard)
+            feats = feats / np.maximum(norms, 1e-30)[:, None]
         ft = np.zeros((f, np_pad), np.float32)
         ft[:, :n] = feats.T
         nrm = np.zeros((1, np_pad), np.float32)
@@ -319,6 +343,7 @@ class FusedRetriever:
             tc=self.tc,
             num_items=self.num_items,
             eps=self.config.eps,
+            exact=self.exact,
             interpret=self.interpret,
         )
 

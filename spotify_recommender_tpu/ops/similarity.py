@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from spotify_recommender_tpu.core.config import COSINE_EPS
+from spotify_recommender_tpu.ops.topk import merge_topk
 
 NEG_INF = jnp.float32(-jnp.inf)
 
@@ -103,6 +104,68 @@ def topk_scores(
     if exclude_rows is not None:
         scores = _mask_self(scores, exclude_rows)
     return jax.lax.top_k(scores, k)
+
+
+@partial(jax.jit, static_argnames=("k", "eps", "chunk"))
+def exact_topk_chunked(
+    queries: jnp.ndarray,
+    features: jnp.ndarray,
+    norms: Optional[jnp.ndarray] = None,
+    exclude_rows: Optional[jnp.ndarray] = None,
+    k: int = 10,
+    eps: float = COSINE_EPS,
+    chunk: int = 131072,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact retrieval as a `lax.scan` over catalog chunks.
+
+    Peak memory is O(B x chunk) instead of O(B x N) — the XLA fallback for
+    catalogs where the full score matrix would not fit (at B=1k, N=10M the
+    naive path wants 40 GB).  Results are identical to `exact_topk`:
+    per-chunk top-k + merge preserves the lowest-index tie rule because
+    chunks are processed in ascending index order and `merge_topk` favors
+    the earlier list.
+    """
+    queries = jnp.asarray(queries, jnp.float32)
+    features = jnp.asarray(features, jnp.float32)
+    if norms is None:
+        norms = jnp.linalg.norm(features, axis=1)
+    n = features.shape[0]
+    b = queries.shape[0]
+    chunk = min(chunk, max(k, n))
+    nchunks = -(-n // chunk)
+    npad = nchunks * chunk
+    feats_p = jnp.pad(features, ((0, npad - n), (0, 0)))
+    norms_p = jnp.pad(norms, (0, npad - n))
+    feats_c = feats_p.reshape(nchunks, chunk, -1)
+    norms_c = norms_p.reshape(nchunks, chunk)
+    offsets = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+    excl = (
+        jnp.full((b,), -1, jnp.int32)
+        if exclude_rows is None
+        else exclude_rows.astype(jnp.int32)
+    )
+
+    def body(carry, xs):
+        best_s, best_i = carry
+        fch, nch, off = xs
+        scores = cosine_scores_batched(queries, fch, nch, eps)
+        gcols = off + jnp.arange(chunk, dtype=jnp.int32)
+        bad = (gcols[None, :] >= n) | (gcols[None, :] == excl[:, None])
+        scores = jnp.where(bad, NEG_INF, scores)
+        ch_s, ch_pos = jax.lax.top_k(scores, k)
+        best_s, best_i = merge_topk(
+            best_s, best_i, ch_s, off + ch_pos.astype(jnp.int32), k
+        )
+        return (best_s, best_i), None
+
+    init = (
+        jnp.full((b, k), NEG_INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    (best_s, best_i), _ = jax.lax.scan(
+        body, init, (feats_c, norms_c, offsets)
+    )
+    return best_s, best_i
 
 
 @partial(jax.jit, static_argnames=("k", "eps"))

@@ -129,6 +129,16 @@ class Retriever:
             except Exception as e:  # pragma: no cover - fallback safety net
                 log.warning("pallas backend failed (%s); falling back to XLA", e)
                 self._backend = "xla"
+        if len(self.catalog) > 262_144:
+            # chunked scan: avoids materializing the (B, N) score matrix
+            return similarity.exact_topk_chunked(
+                queries,
+                self._features,
+                self._norms,
+                exclude_rows=exclude_rows,
+                k=k,
+                eps=self.config.eps,
+            )
         return similarity.exact_topk(
             queries,
             self._features,

@@ -107,3 +107,31 @@ class TestFusedKernelInterpret:
             jnp.asarray(q), feats, k=10, config=CFG, interpret=True
         )
         np.testing.assert_array_equal(np.asarray(f_i), np.asarray(o_i))
+
+
+class TestFastMode:
+    """exact_scores=False: pre-normalized fast path must match the oracle's
+    ordering on real-ish data (mathematically identical cosine)."""
+
+    def test_matches_oracle_ordering(self):
+        feats = random_features(2000, seed=11)
+        q = feats[:16]
+        o_s, o_i = oracle(q, feats, 10)
+        cfg = RetrievalConfig(query_tile=16, catalog_tile=128, exact_scores=False)
+        f_s, f_i = fused_score_topk(
+            jnp.asarray(q), feats, k=10, config=cfg, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(f_i), np.asarray(o_i))
+        np.testing.assert_allclose(
+            np.asarray(f_s), np.asarray(o_s), rtol=1e-5, atol=1e-6
+        )
+
+    def test_zero_norm_query_and_rows(self):
+        feats = random_features(300, seed=12) + 0.1
+        feats[50] = 0.0
+        q = np.zeros((1, 12), np.float32)
+        cfg = RetrievalConfig(query_tile=8, catalog_tile=128, exact_scores=False)
+        f_s, f_i = fused_score_topk(
+            jnp.asarray(q), feats, k=3, config=cfg, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(f_s)[0], np.zeros(3))

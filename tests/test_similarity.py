@@ -122,3 +122,30 @@ class TestMergeTopK:
         idx = np.asarray([[7, 3, 9, 1]], np.int32)
         ms, mi = merge_topk_deterministic(jnp.asarray(scores), jnp.asarray(idx), 2)
         assert list(np.asarray(mi)[0]) == [1, 3]
+
+
+class TestChunkedTopK:
+    def test_matches_unchunked(self):
+        from spotify_recommender_tpu.ops.similarity import exact_topk_chunked
+
+        feats = random_features(5000, seed=21)
+        q = jnp.asarray(feats[:8])
+        excl = jnp.arange(8, dtype=jnp.int32)
+        g_s, g_i = exact_topk(q, jnp.asarray(feats), exclude_rows=excl, k=10)
+        c_s, c_i = exact_topk_chunked(
+            q, jnp.asarray(feats), exclude_rows=excl, k=10, chunk=512
+        )
+        np.testing.assert_array_equal(np.asarray(c_i), np.asarray(g_i))
+        np.testing.assert_allclose(
+            np.asarray(c_s), np.asarray(g_s), rtol=1e-6, atol=1e-7
+        )
+
+    def test_unaligned_last_chunk(self):
+        from spotify_recommender_tpu.ops.similarity import exact_topk_chunked
+
+        feats = random_features(1003, seed=22)
+        q = jnp.asarray(feats[:4])
+        g_s, g_i = exact_topk(q, jnp.asarray(feats), k=17)
+        c_s, c_i = exact_topk_chunked(q, jnp.asarray(feats), k=17, chunk=256)
+        np.testing.assert_array_equal(np.asarray(c_i), np.asarray(g_i))
+        assert np.asarray(c_i).max() < 1003
