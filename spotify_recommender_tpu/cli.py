@@ -145,6 +145,41 @@ def cmd_train_two_tower(args) -> int:
     return two_tower.train_from_cli(args.catalog, cfg, args.output)
 
 
+def cmd_recommend_user(args) -> int:
+    import numpy as np
+
+    from spotify_recommender_tpu.models import mf
+
+    users, items = mf.load_model(args.mf)
+    exclude = (
+        np.asarray([int(x) for x in args.exclude.split(",")], np.int64)
+        if args.exclude
+        else None
+    )
+    try:
+        scores, item_ids = mf.recommend_for_user(
+            users, items, args.user, k=args.n, exclude_items=exclude
+        )
+    except IndexError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    names = None
+    if args.catalog:
+        cat = _load_catalog(args.catalog)
+        if len(cat) == items.shape[0]:
+            names = cat
+    print(f"Top {len(item_ids)} items for user {args.user}:\n")
+    for rank, (s, i) in enumerate(zip(scores, item_ids), 1):
+        if names is not None:
+            print(
+                f'{rank}. item {i}: "{names.track_names[i]}" '
+                f"({names.artists[i]})  score={s:.4f}"
+            )
+        else:
+            print(f"{rank}. item {i}  score={s:.4f}")
+    return 0
+
+
 def cmd_embed_catalog(args) -> int:
     import dataclasses as _dc
 
@@ -233,6 +268,21 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--batch-size", type=int, default=1024)
     st.add_argument("--lr", type=float, default=1e-3)
     st.add_argument("--seed", type=int, default=0)
+
+    su = sub.add_parser(
+        "recommend-user", help="top-N items for a user from a trained MF model"
+    )
+    su.add_argument("--mf", required=True, help="MF model .npz")
+    su.add_argument("--user", type=int, required=True)
+    su.add_argument("-n", type=int, default=10)
+    su.add_argument(
+        "--catalog", default=None,
+        help="optional catalog for item names (rows must align with MF items)",
+    )
+    su.add_argument(
+        "--exclude", default=None,
+        help="comma-separated item ids to exclude (e.g. already-consumed)",
+    )
 
     se = sub.add_parser(
         "embed-catalog",
@@ -327,6 +377,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return cmd_train_mf(args)
     if args.command == "train-two-tower":
         return cmd_train_two_tower(args)
+    if args.command == "recommend-user":
+        return cmd_recommend_user(args)
     if args.command == "embed-catalog":
         return cmd_embed_catalog(args)
     if args.command == "serve":

@@ -479,6 +479,33 @@ def split_leave_k_out(
     return train, heldout, train_items
 
 
+def recommend_for_user(
+    user_factors: np.ndarray,
+    item_factors: np.ndarray,
+    user_id: int,
+    k: int = 10,
+    exclude_items: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-k items for one user by dot-product MIPS through the retrieval
+    stack. Returns (scores (k,), item_ids (k,))."""
+    from spotify_recommender_tpu.ops.similarity import topk_scores
+
+    if user_id < 0 or user_id >= user_factors.shape[0]:
+        raise IndexError(f"user {user_id} out of range")
+    u = jnp.asarray(user_factors[user_id : user_id + 1], jnp.float32)
+    scores = jnp.dot(
+        u, jnp.asarray(item_factors, jnp.float32).T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if exclude_items is not None and len(exclude_items):
+        mask = np.zeros(item_factors.shape[0], bool)
+        mask[np.asarray(exclude_items, np.int64)] = True
+        scores = jnp.where(jnp.asarray(mask)[None, :], -jnp.inf, scores)
+    s, idx = topk_scores(scores, min(k, item_factors.shape[0]))
+    return np.asarray(s)[0], np.asarray(idx)[0]
+
+
 # --------------------------------------------------------------------------
 # Model artifact + CLI
 # --------------------------------------------------------------------------

@@ -99,14 +99,24 @@ def _fused_kernel(
         r_s[:] = jnp.full(r_s.shape, NEG_INF, jnp.float32)
         r_i[:] = jnp.full(r_i.shape, -1, jnp.int32)
 
-    # --- score tile: MXU dot + fused cosine epilogue ---------------------
-    dots = jax.lax.dot_general(
-        q_ref[:],
-        f_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                                          # (TQ, TC)
+    # --- score tile: dot + fused cosine epilogue -------------------------
+    if q_ref.shape[0] <= 16:
+        # Small query tiles: the MXU would pad rows to 128 and (at fp32
+        # HIGHEST) run 6 passes — for tq=8 that's ~100x wasted FLOPs.  A
+        # broadcast-FMA over the F dimension on the VPU is exact fp32 and
+        # costs F passes over (TQ, TC), far cheaper in this regime.
+        f_dim = q_ref.shape[1]
+        dots = q_ref[:, 0:1] * f_ref[0:1, :]
+        for d in range(1, f_dim):
+            dots += q_ref[:, d : d + 1] * f_ref[d : d + 1, :]
+    else:
+        dots = jax.lax.dot_general(
+            q_ref[:],
+            f_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                      # (TQ, TC)
     if exact:
         denom = qn_ref[:] * cn_ref[:]                          # (TQ, TC)
         guard = denom > jnp.float32(eps)                       # ref :68
@@ -126,7 +136,13 @@ def _fused_kernel(
     # steady-state per-tile cost ends here: one max + scalar any()
     m0 = jnp.max(scores, axis=1)
     go0 = jnp.any(m0 > r_s[:, k - 1])
-    s_scr[:] = scores
+
+    # the insert loop needs the tile in mutable scratch; skip the copy on
+    # the (common) no-insert tiles
+    @pl.when(go0)
+    def _stage():
+        s_scr[:] = scores
+
     posk = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
 
     def cond(carry):
