@@ -103,6 +103,45 @@ def cmd_recommend(
     return 0
 
 
+def cmd_retrieve(args) -> int:
+    import json
+
+    import numpy as np
+
+    from spotify_recommender_tpu.retrieval.retriever import Retriever
+
+    if args.queries.endswith(".npy"):
+        queries = np.load(args.queries)
+    else:
+        with np.load(args.queries) as z:
+            queries = z["queries"]
+    cat = _load_catalog(args.catalog)
+    retriever = Retriever(cat)
+    scores, rows = retriever.retrieve(queries, k=args.k)
+    scores, rows = np.asarray(scores), np.asarray(rows)
+    if args.output:
+        np.savez_compressed(
+            args.output,
+            scores=scores,
+            rows=rows,
+            track_ids=cat.track_ids[rows].astype(np.str_),
+        )
+        print(f"retrieved top-{args.k} for {len(queries)} queries -> {args.output}")
+    else:
+        for b in range(len(queries)):
+            print(
+                json.dumps(
+                    {
+                        "query": b,
+                        "rows": rows[b].tolist(),
+                        "scores": [round(float(s), 6) for s in scores[b]],
+                        "track_ids": [str(t) for t in cat.track_ids[rows[b]]],
+                    }
+                )
+            )
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     from spotify_recommender_tpu import benchmark
 
@@ -243,6 +282,17 @@ def build_parser() -> argparse.ArgumentParser:
     sr.add_argument("-n", type=int, default=10)
     sr.add_argument("--catalog", default=DEFAULT_CATALOG)
 
+    sv = sub.add_parser(
+        "retrieve", help="batched retrieval: query vectors file -> top-k"
+    )
+    sv.add_argument(
+        "queries", help=".npz with a 'queries' (B, F) array, or .npy"
+    )
+    sv.add_argument("-k", type=int, default=10)
+    sv.add_argument("--catalog", default=DEFAULT_CATALOG)
+    sv.add_argument("-o", "--output", default=None,
+                    help="write results to .npz (default: print JSON)")
+
     sb = sub.add_parser("benchmark", help="retrieval throughput benchmark")
     sb.add_argument("--items", type=int, default=1_000_000)
     sb.add_argument("--queries", type=int, default=1024)
@@ -371,6 +421,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.command == "recommend":
         query = args.track_id if args.track_id else args.song
         return cmd_recommend(query, args.track_id is not None, args.n, args.catalog)
+    if args.command == "retrieve":
+        return cmd_retrieve(args)
     if args.command == "benchmark":
         return cmd_benchmark(args)
     if args.command == "train-mf":
