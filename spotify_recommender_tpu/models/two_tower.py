@@ -223,6 +223,27 @@ def embed_queries(
     return np.asarray(apply(params, jnp.asarray(features)))
 
 
+def embed_user_profile(
+    params: Dict,
+    liked_item_features: np.ndarray,   # (n_liked, F)
+    config: TwoTowerConfig,
+    weights: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """User/context embedding from a listening history: the query tower
+    applied to the (optionally weighted) mean of liked items' features —
+    the standard cold-start-free profile for feature-based two-towers.
+    Returns (D,)."""
+    feats = np.asarray(liked_item_features, np.float32)
+    if feats.ndim != 2 or len(feats) == 0:
+        raise ValueError("liked_item_features must be a non-empty (n, F) array")
+    if weights is not None:
+        w = np.asarray(weights, np.float32)
+        profile = (feats * w[:, None]).sum(0) / max(w.sum(), 1e-9)
+    else:
+        profile = feats.mean(0)
+    return embed_queries(params, profile[None, :], config)[0]
+
+
 def save_model(
     path: str, params: Dict, config: TwoTowerConfig, feat_dim: Optional[int] = None
 ) -> None:

@@ -64,3 +64,69 @@ class TestSubcommands:
 
     def test_no_command_shows_help(self, capsys):
         assert cli.main([]) == 1
+
+
+class TestRetrieveAndUserCommands:
+    def test_retrieve_json_and_npz(self, workdir, songs_csv, capsys):
+        import numpy as np
+
+        cli.main(["--preprocess", str(songs_csv)])
+        capsys.readouterr()
+        from spotify_recommender_tpu.data.catalog import Catalog
+
+        cat = Catalog.load(cli.DEFAULT_CATALOG)
+        np.savez("q.npz", queries=cat.features[:2])
+        assert cli.main(["retrieve", "q.npz", "-k", "3"]) == 0
+        out = capsys.readouterr().out
+        assert '"rows"' in out and '"track_ids"' in out
+
+        assert cli.main(["retrieve", "q.npz", "-k", "3", "-o", "r.npz"]) == 0
+        with np.load("r.npz") as z:
+            assert z["rows"].shape == (2, 3)
+
+    def test_recommend_user_flow(self, workdir, songs_csv, capsys):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        with open("inter.csv", "w") as f:
+            f.write("user_id,item_id,count\n")
+            for _ in range(500):
+                f.write(f"{rng.integers(0, 30)},{rng.integers(0, 50)},{1 + rng.integers(0, 5)}\n")
+        assert (
+            cli.main(
+                ["train-mf", "inter.csv", "--dim", "8", "--iterations", "2",
+                 "-o", "mf.npz"]
+            )
+            == 0
+        )
+        capsys.readouterr()
+        assert cli.main(["recommend-user", "--mf", "mf.npz", "--user", "3", "-n", "5"]) == 0
+        out = capsys.readouterr().out
+        assert "Top 5 items for user 3" in out
+        assert cli.main(["recommend-user", "--mf", "mf.npz", "--user", "9999"]) == 1
+
+    def test_embed_catalog_mf_flow(self, workdir, songs_csv, capsys):
+        import numpy as np
+
+        cli.main(["--preprocess", str(songs_csv)])
+        capsys.readouterr()
+        from spotify_recommender_tpu.data.catalog import Catalog
+        from spotify_recommender_tpu.core.config import MFConfig
+        from spotify_recommender_tpu.models import mf as mf_mod
+
+        cat = Catalog.load(cli.DEFAULT_CATALOG)
+        rng = np.random.default_rng(0)
+        items = rng.standard_normal((len(cat), 8)).astype(np.float32)
+        users = rng.standard_normal((10, 8)).astype(np.float32)
+        mf_mod.save_model("mf_items.npz", users, items, MFConfig(embedding_dim=8))
+        assert (
+            cli.main(
+                ["embed-catalog", "--catalog", cli.DEFAULT_CATALOG,
+                 "--mf", "mf_items.npz", "-o", "emb.npz"]
+            )
+            == 0
+        )
+        assert (
+            cli.main(["recommend", "--song", "Song 5", "-n", "2", "--catalog", "emb.npz"])
+            == 0
+        )

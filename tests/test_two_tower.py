@@ -114,3 +114,41 @@ class TestModelIO:
         e1 = two_tower.embed_catalog(result.params, feats[:10], cfg)
         e2 = two_tower.embed_catalog(params, feats[:10], cfg2)
         np.testing.assert_allclose(e1, e2, rtol=1e-6)
+
+
+class TestUserProfile:
+    def test_profile_embedding_retrieves_genre(self, clustered_data):
+        feats, genres = clustered_data
+        result = two_tower.train(feats, genres, SMALL)
+        # user who liked 5 genre-2 songs
+        liked = feats[genres == 2][:5]
+        emb = two_tower.embed_user_profile(result.params, liked, SMALL)
+        assert emb.shape == (SMALL.embedding_dim,)
+        item_emb = two_tower.embed_catalog(result.params, feats, SMALL)
+        import jax.numpy as jnp
+        from spotify_recommender_tpu.ops.similarity import topk_scores
+
+        scores = jnp.asarray(emb[None] @ item_emb.T)
+        _, rows = topk_scores(scores, 10)
+        hit_genres = genres[np.asarray(rows)[0]]
+        assert (hit_genres == 2).mean() > 0.7
+
+    def test_weighted_profile(self, clustered_data):
+        feats, genres = clustered_data
+        cfg = TwoTowerConfig(embedding_dim=8, hidden_dims=(16,), num_steps=2,
+                             batch_size=16)
+        result = two_tower.train(feats, genres, cfg)
+        emb = two_tower.embed_user_profile(
+            result.params, feats[:3], cfg, weights=np.asarray([1.0, 2.0, 0.5])
+        )
+        assert np.isfinite(emb).all()
+
+    def test_empty_history_rejected(self, clustered_data):
+        feats, genres = clustered_data
+        cfg = TwoTowerConfig(embedding_dim=8, hidden_dims=(16,), num_steps=2,
+                             batch_size=16)
+        result = two_tower.train(feats, genres, cfg)
+        with pytest.raises(ValueError):
+            two_tower.embed_user_profile(
+                result.params, np.zeros((0, 12), np.float32), cfg
+            )
