@@ -13,13 +13,11 @@ min-heap :293-315).  One kernel does everything on-chip:
   epilogue (denominator guard 1e-8, clamp to [-1, 1] — exact reference
   semantics) fused on the VPU;
 - a running top-k (scores + global indices) lives in VMEM scratch across
-  the catalog-tile grid axis; each tile first computes its per-query max
-  and **skips the merge entirely** (`pl.when`) unless some query's tile
-  max beats its current k-th best — on real data almost every tile skips,
-  so the steady-state cost is the dot + one max pass, keeping the kernel
-  HBM-bandwidth-bound;
-- merge = K-step extract-max over [scratch | tile] with first-occurrence
-  argmax (min-of-iota), preserving the lowest-index tie rule end-to-end;
+  the catalog-tile grid axis, maintained by **tournament insert**: per
+  tile one max-reduce, then a while-loop of single-candidate sorted
+  inserts that runs zero rounds when no query's tile max beats its
+  k-th best (first-occurrence argmax + insert-after-equals preserve the
+  lowest-index tie rule end-to-end);
 - only (B, k) scores + indices are ever written to HBM — the (B, N) score
   matrix never exists (the XLA oracle materializes it: 4 GB at B=1k, N=1M).
 
@@ -63,6 +61,7 @@ def _fused_kernel(
     f_ref,        # (F, TC)   catalog tile (transposed layout)
     cn_ref,       # (1, TC)   catalog norms
     excl_ref,     # (TQ, 1)   excluded global row per query (-1 = none)
+    valid_ref,    # (1, 1)    SMEM: number of valid catalog rows (pad cutoff)
     out_s_ref,    # (TQ, K)   output scores
     out_i_ref,    # (TQ, K)   output indices
     r_s,          # scratch (TQ, K) running top-k scores (sorted desc)
@@ -71,7 +70,6 @@ def _fused_kernel(
     *,
     k: int,
     tc: int,
-    num_items: int,
     eps: float,
     exact: bool,
 ):
@@ -130,7 +128,7 @@ def _fused_kernel(
     # padding + self-exclusion in ONE masked select (row iota broadcasts)
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
     gcol_row = cj * tc + lane_row                               # (1, TC)
-    bad = (gcol_row >= num_items) | (gcol_row == excl_ref[:])   # (TQ, TC)
+    bad = (gcol_row >= valid_ref[0, 0]) | (gcol_row == excl_ref[:])  # (TQ, TC)
     scores = jnp.where(bad, NEG_INF, scores)
 
     # steady-state per-tile cost ends here: one max + scalar any()
@@ -198,7 +196,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tq", "tc", "num_items", "eps", "exact", "interpret"),
+    static_argnames=("k", "tq", "tc", "eps", "exact", "interpret"),
 )
 def _fused_call(
     queries_p: jnp.ndarray,   # (Bp, F)
@@ -206,11 +204,11 @@ def _fused_call(
     features_t: jnp.ndarray,  # (F, Np)
     norms_p: jnp.ndarray,     # (1, Np)
     excl_p: jnp.ndarray,      # (Bp, 1)
+    valid: jnp.ndarray,       # (1, 1) int32 number of valid rows
     *,
     k: int,
     tq: int,
     tc: int,
-    num_items: int,
     eps: float,
     exact: bool = True,
     interpret: bool = False,
@@ -219,7 +217,7 @@ def _fused_call(
     np_ = features_t.shape[1]
     grid = (bp // tq, np_ // tc)
     kernel = functools.partial(
-        _fused_kernel, k=k, tc=tc, num_items=num_items, eps=eps, exact=exact
+        _fused_kernel, k=k, tc=tc, eps=eps, exact=exact
     )
     flops = 2 * bp * np_ * f
     bytes_accessed = (np_ * f + np_ + bp * f + bp) * 4 * (bp // tq)
@@ -232,6 +230,7 @@ def _fused_call(
             pl.BlockSpec((f, tc), lambda qi, cj: (0, cj)),
             pl.BlockSpec((1, tc), lambda qi, cj: (0, cj)),
             pl.BlockSpec((tq, 1), lambda qi, cj: (qi, 0)),
+            pl.BlockSpec((1, 1), lambda qi, cj: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((tq, k), lambda qi, cj: (qi, 0)),
@@ -254,23 +253,23 @@ def _fused_call(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(queries_p, q_norms_p, features_t, norms_p, excl_p)
+    )(queries_p, q_norms_p, features_t, norms_p, excl_p, valid)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tq", "tc", "num_items", "eps", "exact", "interpret"),
+    static_argnames=("k", "tq", "tc", "eps", "exact", "interpret"),
 )
 def _prepare_and_call(
     queries: jnp.ndarray,
     exclude_rows: Optional[jnp.ndarray],
     features_t: jnp.ndarray,
     norms: jnp.ndarray,
+    valid: jnp.ndarray,
     *,
     k: int,
     tq: int,
     tc: int,
-    num_items: int,
     eps: float,
     exact: bool,
     interpret: bool,
@@ -295,8 +294,8 @@ def _prepare_and_call(
             .set(exclude_rows.astype(jnp.int32))[:, None]
         )
     out_s, out_i = _fused_call(
-        q_pad, qn, features_t, norms, excl,
-        k=k, tq=tq, tc=tc, num_items=num_items, eps=eps, exact=exact,
+        q_pad, qn, features_t, norms, excl, valid,
+        k=k, tq=tq, tc=tc, eps=eps, exact=exact,
         interpret=interpret,
     )
     return out_s[:b], out_i[:b]
@@ -354,10 +353,10 @@ class FusedRetriever:
             exclude_rows if exclude_rows is None else jnp.asarray(exclude_rows),
             self.features_t,
             self.norms,
+            jnp.full((1, 1), self.num_items, jnp.int32),
             k=k,
             tq=tq,
             tc=self.tc,
-            num_items=self.num_items,
             eps=self.config.eps,
             exact=self.exact,
             interpret=self.interpret,

@@ -112,8 +112,64 @@ def sharded_topk_retrieve(
     return fn(queries, features, norms, exclude_rows, valid_rows)
 
 
+def _local_fused_topk(
+    queries: jnp.ndarray,       # (B, F) replicated
+    features_t: jnp.ndarray,    # (F, N_local) this shard, kernel layout
+    norms: jnp.ndarray,         # (1, N_local)
+    exclude_rows: jnp.ndarray,  # (B,) global row ids, -1 = none
+    valid_rows: jnp.ndarray,    # (1, 1) int32 global N
+    *,
+    k: int,
+    tq: int,
+    tc: int,
+    eps: float,
+    exact: bool,
+    interpret: bool,
+    axis_name: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """shard_map body running the fused Pallas kernel on the local shard,
+    then allgather + deterministic merge — the production multi-chip path
+    (same kernel as single-chip; only the index bookkeeping differs)."""
+    from spotify_recommender_tpu.ops.pallas.fused_topk import _prepare_and_call
+
+    shard = jax.lax.axis_index(axis_name)
+    n_local = features_t.shape[1]
+    offset = (shard * n_local).astype(jnp.int32)
+    # translate global exclusions / valid count into this shard's frame
+    excl_local = jnp.where(
+        (exclude_rows >= offset) & (exclude_rows < offset + n_local),
+        exclude_rows - offset,
+        -1,
+    )
+    valid_local = jnp.clip(valid_rows - offset, 0, n_local).astype(jnp.int32)
+    k_local = min(k, n_local)
+    local_s, local_i = _prepare_and_call(
+        queries,
+        excl_local,
+        features_t,
+        norms,
+        valid_local,
+        k=k_local,
+        tq=tq,
+        tc=tc,
+        eps=eps,
+        exact=exact,
+        interpret=interpret,
+    )
+    cand_s = jax.lax.all_gather(local_s, axis_name, axis=1, tiled=True)
+    cand_i = jax.lax.all_gather(
+        offset + local_i.astype(jnp.int32), axis_name, axis=1, tiled=True
+    )
+    return merge_topk_deterministic(cand_s, cand_i, k)
+
+
 class ShardedCatalog:
-    """Device-resident, row-sharded catalog features + norms."""
+    """Device-resident, row-sharded catalog features + norms.
+
+    ``use_pallas=True`` runs the fused kernel per shard (kernel-layout
+    transposed features, sharded along the item axis); otherwise the jnp
+    oracle scores inside shard_map.
+    """
 
     def __init__(
         self,
@@ -122,24 +178,57 @@ class ShardedCatalog:
         mesh: Mesh,
         axis_name: str = "catalog",
         eps: float = COSINE_EPS,
+        use_pallas: bool = False,
+        query_tile: int = 512,
+        catalog_tile: int = 8192,
+        exact: bool = True,
+        interpret: bool = False,
     ) -> None:
         self.mesh = mesh
         self.axis_name = axis_name
         self.eps = eps
+        self.use_pallas = use_pallas
+        self.exact = exact
+        self.interpret = interpret
         self.num_items = features.shape[0]
         n_shards = mesh.shape[axis_name]
-        feats = _pad_to_multiple(np.asarray(features, np.float32), n_shards)
-        nrm = _pad_to_multiple(np.asarray(norms, np.float32), n_shards)
-        row_sharding = NamedSharding(mesh, P(axis_name, None))
-        self.features = jax.device_put(feats, row_sharding)
-        self.norms = jax.device_put(nrm, NamedSharding(mesh, P(axis_name)))
+        feats = np.asarray(features, np.float32)
+        nrm_1d = np.asarray(norms, np.float32)
+        if use_pallas:
+            # per-shard kernel layout: (F, Np) with Np a multiple of
+            # n_shards * tc so every shard's slice tiles evenly
+            self.tc = min(catalog_tile, 128 * max(1, -(-self.num_items // (128 * n_shards))))
+            self.tq = query_tile
+            chunk = n_shards * self.tc
+            np_pad = -(-self.num_items // chunk) * chunk
+            if not exact:
+                feats = feats / np.maximum(nrm_1d, 1e-30)[:, None]
+            ft = np.zeros((feats.shape[1], np_pad), np.float32)
+            ft[:, : self.num_items] = feats.T
+            nrm = np.zeros((1, np_pad), np.float32)
+            nrm[0, : self.num_items] = nrm_1d
+            self.features = jax.device_put(
+                ft, NamedSharding(mesh, P(None, axis_name))
+            )
+            self.norms = jax.device_put(
+                nrm, NamedSharding(mesh, P(None, axis_name))
+            )
+        else:
+            feats_p = _pad_to_multiple(feats, n_shards)
+            nrm_p = _pad_to_multiple(nrm_1d, n_shards)
+            self.features = jax.device_put(
+                feats_p, NamedSharding(mesh, P(axis_name, None))
+            )
+            self.norms = jax.device_put(
+                nrm_p, NamedSharding(mesh, P(axis_name))
+            )
         self._valid = jnp.asarray(self.num_items, jnp.int32)
         log.info(
-            "sharded catalog: %d items (+%d pad) over %d '%s' shards",
+            "sharded catalog: %d items over %d '%s' shards (backend=%s)",
             self.num_items,
-            feats.shape[0] - self.num_items,
             n_shards,
             axis_name,
+            "pallas" if use_pallas else "xla",
         )
 
     def retrieve(
@@ -151,6 +240,37 @@ class ShardedCatalog:
         b = queries.shape[0]
         if exclude_rows is None:
             exclude_rows = jnp.full((b,), -1, jnp.int32)
+        if self.use_pallas:
+            body = partial(
+                _local_fused_topk,
+                k=k,
+                tq=min(self.tq, -(-b // 8) * 8),
+                tc=self.tc,
+                eps=self.eps,
+                exact=self.exact,
+                interpret=self.interpret,
+                axis_name=self.axis_name,
+            )
+            fn = jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(
+                    P(),                       # queries replicated
+                    P(None, self.axis_name),   # features_t column-sharded
+                    P(None, self.axis_name),   # norms column-sharded
+                    P(),                       # exclusions replicated
+                    P(),                       # valid count replicated
+                ),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            return fn(
+                jnp.atleast_2d(jnp.asarray(queries, jnp.float32)),
+                self.features,
+                self.norms,
+                exclude_rows,
+                jnp.full((1, 1), self.num_items, jnp.int32),
+            )
         return sharded_topk_retrieve(
             queries,
             self.features,

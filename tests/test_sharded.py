@@ -95,3 +95,39 @@ class TestShardedRetrieval:
         single = Retriever(cat, RetrievalConfig(use_pallas=False))
         recs_single = single.recommend_by_index(5, k=10)
         assert [x.row for x in recs] == [x.row for x in recs_single]
+
+
+class TestShardedPallas:
+    """Fused kernel per shard (interpret mode on the CPU mesh)."""
+
+    def test_matches_oracle(self, mesh8):
+        feats = random_features(1000, seed=31)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        sc = ShardedCatalog(
+            feats, norms, mesh8, use_pallas=True, interpret=True,
+            query_tile=16, catalog_tile=128,
+        )
+        queries = jnp.asarray(feats[:8])
+        excl = jnp.arange(8, dtype=jnp.int32)
+        s_s, s_r = sc.retrieve(queries, k=10, exclude_rows=excl)
+        g_s, g_r = exact_topk(
+            queries, jnp.asarray(feats), jnp.asarray(norms),
+            exclude_rows=excl, k=10,
+        )
+        np.testing.assert_array_equal(np.asarray(s_r), np.asarray(g_r))
+        np.testing.assert_allclose(
+            np.asarray(s_s), np.asarray(g_s), rtol=1e-6, atol=1e-7
+        )
+
+    def test_unaligned_catalog(self, mesh8):
+        feats = random_features(777, seed=32)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        sc = ShardedCatalog(
+            feats, norms, mesh8, use_pallas=True, interpret=True,
+            query_tile=8, catalog_tile=128,
+        )
+        queries = jnp.asarray(feats[:4])
+        s_s, s_r = sc.retrieve(queries, k=20)
+        g_s, g_r = exact_topk(queries, jnp.asarray(feats), jnp.asarray(norms), k=20)
+        np.testing.assert_array_equal(np.asarray(s_r), np.asarray(g_r))
+        assert np.asarray(s_r).max() < 777
