@@ -157,8 +157,14 @@ def train(
     config: TwoTowerConfig,
     mesh: Optional[Mesh] = None,
     pair_fn=None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 100,
 ) -> TrainResult:
-    """Train the two towers; with a mesh, batches shard over "data"."""
+    """Train the two towers; with a mesh, batches shard over "data".
+
+    With `checkpoint_dir`, params + optimizer state checkpoint every
+    `checkpoint_every` steps (Orbax) and training RESUMES from the latest
+    checkpoint if one exists."""
     model = TwoTower(config)
     rng = np.random.default_rng(config.seed)
     feat_dim = features.shape[1]
@@ -169,6 +175,21 @@ def train(
     )
     optimizer = optax.adam(config.learning_rate)
     opt_state = optimizer.init(params)
+
+    ckpt_mgr = None
+    start_step = 0
+    if checkpoint_dir is not None:
+        from spotify_recommender_tpu.train.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(checkpoint_dir)
+        latest = ckpt_mgr.latest_step()
+        if latest is not None:
+            state = ckpt_mgr.restore(
+                latest, template={"params": params, "opt_state": opt_state}
+            )
+            params, opt_state = state["params"], state["opt_state"]
+            start_step = latest + 1
+            log.info("resumed two-tower training from step %d", start_step)
     pair_fn = pair_fn or (
         lambda b: same_genre_pairs(features, genre_ids, b, rng)
     )
@@ -191,13 +212,24 @@ def train(
         )
 
     losses = []
-    for s in range(config.num_steps):
+    for s in range(start_step, config.num_steps):
         q, i = pair_fn(config.batch_size)
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(q), jnp.asarray(i)
         )
         if s % 50 == 0 or s == config.num_steps - 1:
             losses.append(float(loss))
+        if ckpt_mgr is not None and (
+            (s + 1) % checkpoint_every == 0 or s == config.num_steps - 1
+        ):
+            ckpt_mgr.save(
+                s, {"params": params, "opt_state": opt_state}, force=True
+            )
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait()
+        ckpt_mgr.close()
+    if not losses:  # fully resumed past num_steps
+        losses = [float("nan")]
     log.info("two-tower done: loss %.4f -> %.4f", losses[0], losses[-1])
     return TrainResult(params=params, losses=losses)
 

@@ -67,7 +67,17 @@ class Retriever:
             from spotify_recommender_tpu.parallel.sharding import ShardedCatalog
 
             self._sharded = ShardedCatalog(
-                catalog.features, catalog.norms, mesh
+                catalog.features,
+                catalog.norms,
+                mesh,
+                eps=self.config.eps,
+                # fused kernel per shard on TPU; jnp oracle elsewhere
+                use_pallas=(
+                    self.config.use_pallas and jax.default_backend() == "tpu"
+                ),
+                query_tile=self.config.query_tile,
+                catalog_tile=self.config.catalog_tile,
+                exact=self.config.exact_scores,
             )
             self._features = self._sharded.features
             self._norms = self._sharded.norms

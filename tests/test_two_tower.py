@@ -152,3 +152,33 @@ class TestUserProfile:
             two_tower.embed_user_profile(
                 result.params, np.zeros((0, 12), np.float32), cfg
             )
+
+
+class TestCheckpointResume:
+    def test_resume_continues_from_checkpoint(self, tmp_path, clustered_data):
+        feats, genres = clustered_data
+        cfg = TwoTowerConfig(embedding_dim=8, hidden_dims=(16,), num_steps=6,
+                             batch_size=32, seed=5)
+        d = str(tmp_path / "ck")
+        # first run: checkpoints every 2 steps
+        r1 = two_tower.train(feats, genres, cfg, checkpoint_dir=d,
+                             checkpoint_every=2)
+        # second run resumes at latest (step 5 saved) and trains 0 new steps
+        r2 = two_tower.train(feats, genres, cfg, checkpoint_dir=d,
+                             checkpoint_every=2)
+        e1 = two_tower.embed_catalog(r1.params, feats[:4], cfg)
+        e2 = two_tower.embed_catalog(r2.params, feats[:4], cfg)
+        np.testing.assert_allclose(e1, e2, rtol=1e-6)
+
+    def test_resume_trains_remaining_steps(self, tmp_path, clustered_data):
+        feats, genres = clustered_data
+        d = str(tmp_path / "ck2")
+        short = TwoTowerConfig(embedding_dim=8, hidden_dims=(16,), num_steps=3,
+                               batch_size=32, seed=5)
+        two_tower.train(feats, genres, short, checkpoint_dir=d,
+                        checkpoint_every=1)
+        longer = TwoTowerConfig(embedding_dim=8, hidden_dims=(16,), num_steps=8,
+                                batch_size=32, seed=5)
+        r = two_tower.train(feats, genres, longer, checkpoint_dir=d,
+                            checkpoint_every=1)
+        assert np.isfinite(r.losses[-1])
