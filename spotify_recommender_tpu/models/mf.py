@@ -364,15 +364,47 @@ def train_sgd(
     conf_f = inter.confidence[uu, jj]
     n_obs = len(users_f)
 
-    step_fn = partial(
-        sgd_step,
-        optimizer=optimizer,
-        reg=config.reg,
-        alpha=config.alpha,
-        axis_name=None,
-    )
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        def _dp_body(params, opt_state, user, item, conf, neg):
+            batch = {"user": user, "item": item, "conf": conf, "neg": neg}
+            return sgd_step(
+                params, opt_state, batch,
+                optimizer=optimizer, reg=config.reg, alpha=config.alpha,
+                axis_name="data",
+            )
+
+        dp_step = jax.jit(
+            jax.shard_map(
+                _dp_body,
+                mesh=mesh,
+                in_specs=(P(), P(), P("data"), P("data"), P("data"),
+                          P("data", None)),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+        )
+
+        def step_fn(params, opt_state, batch):
+            return dp_step(
+                params, opt_state,
+                batch["user"], batch["item"], batch["conf"], batch["neg"],
+            )
+
+        # global batch must divide evenly over the data axis
+        nd = mesh.shape["data"]
+        b = max(nd, (min(config.batch_size, n_obs) // nd) * nd)
+    else:
+        step_fn = partial(
+            sgd_step,
+            optimizer=optimizer,
+            reg=config.reg,
+            alpha=config.alpha,
+            axis_name=None,
+        )
+        b = min(config.batch_size, n_obs)
     losses = []
-    b = min(config.batch_size, n_obs)
     for step in range(num_steps):
         sel = rng.integers(0, n_obs, size=b)
         batch = {

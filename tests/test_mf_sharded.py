@@ -31,3 +31,17 @@ class TestShardedALS:
         users, items = mf.train_als(train, cfg, mesh=mesh)
         m = mf.evaluate_ranking(users, items, heldout, k=10, train_mask=seen)
         assert m["recall@k"] > 0.35, m
+
+
+class TestShardedSGD:
+    def test_dp_sgd_learns(self):
+        inter, _, _ = mf.synthetic_interactions(
+            num_users=300, num_items=200, latent_dim=6, density=0.05, seed=2
+        )
+        train, heldout, seen = mf.split_leave_k_out(inter, k=1, seed=0)
+        mesh = make_mesh(MeshConfig(data=8, catalog=1))
+        cfg = MFConfig(embedding_dim=16, reg=0.002, alpha=5.0,
+                       learning_rate=0.05, batch_size=1024, seed=0)
+        users, items = mf.train_sgd(train, cfg, num_steps=300, mesh=mesh)
+        m = mf.evaluate_ranking(users, items, heldout, k=10, train_mask=seen)
+        assert m["recall@k"] > 0.12, m
