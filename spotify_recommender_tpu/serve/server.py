@@ -42,18 +42,44 @@ class RecommenderService:
 
         self.retriever = Retriever(catalog, config)
         self._lock = threading.Lock()
+        self._stats = {"requests": 0, "errors": 0, "total_latency_s": 0.0}
+
+    def _record(self, t0: float, ok: bool) -> None:
+        import time
+
+        with self._lock:
+            self._stats["requests"] += 1
+            if not ok:
+                self._stats["errors"] += 1
+            self._stats["total_latency_s"] += time.perf_counter() - t0
+
+    def metrics(self) -> dict:
+        s = dict(self._stats)
+        n = max(1, s["requests"])
+        return {
+            "requests": s["requests"],
+            "errors": s["errors"],
+            "mean_latency_ms": round(1e3 * s["total_latency_s"] / n, 3),
+            "num_items": len(self.retriever.catalog),
+            "backend": self.retriever._backend,
+        }
 
     def recommend(self, query: str, by_id: bool, k: int) -> dict:
-        with self._lock:
-            try:
+        import time
+
+        t0 = time.perf_counter()
+        try:
+            with self._lock:
                 if by_id:
                     row = self.retriever.index.find_by_track_id(query)
                     recs = self.retriever.recommend_by_id(query, k)
                 else:
                     row = self.retriever.index.find_by_name(query)
                     recs = self.retriever.recommend_by_name(query, k)
-            except (KeyError, IndexError) as e:
-                return {"error": e.args[0] if e.args else str(e), "status": 404}
+        except (KeyError, IndexError) as e:
+            self._record(t0, ok=False)
+            return {"error": e.args[0] if e.args else str(e), "status": 404}
+        self._record(t0, ok=True)
         return {
             "query": dataclasses.asdict(self.retriever.lookup(row)),
             "results": [dataclasses.asdict(r) for r in recs],
@@ -93,7 +119,7 @@ def _make_handler(service: RecommenderService):
         def _send(self, payload: dict) -> None:
             code = payload.get("status", 200)
             if isinstance(code, int):
-                payload.pop("status")
+                payload.pop("status", None)
             else:
                 code = 200  # payload-level status strings (e.g. healthz "ok")
             body = json.dumps(payload).encode()
@@ -109,6 +135,8 @@ def _make_handler(service: RecommenderService):
             try:
                 if url.path == "/healthz":
                     self._send(self.server_service.health())
+                elif url.path == "/metrics":
+                    self._send(self.server_service.metrics())
                 elif url.path == "/recommend":
                     k = int(qs.get("n", ["10"])[0])
                     if "id" in qs:

@@ -107,3 +107,19 @@ class TestValidation:
 
     def test_good_catalog_passes(self, catalog):
         catalog.validate()
+
+
+class TestCorruptFiles:
+    def test_truncated_npz_fails_cleanly(self, catalog, tmp_path):
+        path = str(tmp_path / "t.npz")
+        catalog.save(path)
+        data = open(path, "rb").read()
+        open(path, "wb").write(data[: len(data) // 2])
+        with pytest.raises(Exception):
+            Catalog.load(path)
+
+    def test_not_a_catalog_npz(self, tmp_path):
+        path = str(tmp_path / "x.npz")
+        np.savez(path, something=np.arange(3))
+        with pytest.raises(KeyError):
+            Catalog.load(path)

@@ -135,3 +135,31 @@ class TestFastMode:
             jnp.asarray(q), feats, k=3, config=cfg, interpret=True
         )
         np.testing.assert_array_equal(np.asarray(f_s)[0], np.zeros(3))
+
+
+class TestShapeFuzz:
+    """Randomized shapes/tilings vs the oracle (interpret mode)."""
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_random_shapes(self, seed):
+        rng = np.random.default_rng(100 + seed)
+        n = int(rng.integers(50, 700))
+        b = int(rng.integers(1, 40))
+        k = int(rng.integers(1, min(20, n)))
+        tq = int(rng.choice([8, 16, 24, 48]))
+        tc = int(rng.choice([128, 256, 384]))
+        exact = bool(rng.integers(0, 2))
+        feats = rng.random((n, 12), dtype=np.float32)
+        q = rng.random((b, 12), dtype=np.float32)
+        excl = rng.integers(-1, n, size=b).astype(np.int32)
+        cfg = RetrievalConfig(query_tile=tq, catalog_tile=tc, exact_scores=exact)
+        f_s, f_i = fused_score_topk(
+            jnp.asarray(q), feats, k=k, exclude_rows=jnp.asarray(excl),
+            config=cfg, interpret=True,
+        )
+        o_s, o_i = exact_topk(
+            jnp.asarray(q), jnp.asarray(feats),
+            exclude_rows=jnp.asarray(excl), k=k,
+        )
+        np.testing.assert_array_equal(np.asarray(f_i), np.asarray(o_i),
+                                      err_msg=f"n={n} b={b} k={k} tq={tq} tc={tc} exact={exact}")

@@ -96,3 +96,33 @@ class TestHTTPServer:
         with urllib.request.urlopen(f"{server}/song/3") as r:
             body = json.load(r)
         assert body["song"]["row"] == 3
+
+
+class TestMetrics:
+    def test_metrics_accumulate(self, catalog):
+        svc = RecommenderService(catalog, RetrievalConfig(use_pallas=False))
+        svc.recommend("Song 1", by_id=False, k=2)
+        svc.recommend("zzz-missing", by_id=False, k=2)
+        m = svc.metrics()
+        assert m["requests"] == 2
+        assert m["errors"] == 1
+        assert m["mean_latency_ms"] >= 0
+
+    def test_metrics_endpoint(self, catalog):
+        import json
+        import threading
+        import urllib.request
+
+        srv = make_server(catalog, "127.0.0.1", 0, RetrievalConfig(use_pallas=False))
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/recommend?song=Song%202&n=2"
+            ).read()
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+                body = json.load(r)
+            assert body["requests"] == 1 and body["errors"] == 0
+        finally:
+            srv.shutdown()
+            srv.server_close()
