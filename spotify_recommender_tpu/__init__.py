@@ -21,4 +21,33 @@ Layer map (see SURVEY.md §7):
 
 from spotify_recommender_tpu.version import __version__
 
-__all__ = ["__version__"]
+__all__ = [
+    "__version__",
+    "Catalog",
+    "Retriever",
+    "RetrievalConfig",
+    "MeshConfig",
+    "preprocess_csv",
+]
+
+
+def __getattr__(name):
+    # Lazy re-exports: keep `import spotify_recommender_tpu` cheap (no JAX
+    # device init) while exposing the primary API at the package root.
+    if name == "Catalog":
+        from spotify_recommender_tpu.data.catalog import Catalog
+
+        return Catalog
+    if name == "preprocess_csv":
+        from spotify_recommender_tpu.data.catalog import preprocess_csv
+
+        return preprocess_csv
+    if name == "Retriever":
+        from spotify_recommender_tpu.retrieval.retriever import Retriever
+
+        return Retriever
+    if name in ("RetrievalConfig", "MeshConfig"):
+        from spotify_recommender_tpu.core import config
+
+        return getattr(config, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

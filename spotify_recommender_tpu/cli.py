@@ -184,6 +184,28 @@ def cmd_train_two_tower(args) -> int:
     return two_tower.train_from_cli(args.catalog, cfg, args.output)
 
 
+def cmd_evaluate_mf(args) -> int:
+    from spotify_recommender_tpu.models import mf
+
+    inter = mf.load_interactions(args.interactions)
+    users, items = mf.load_model(args.mf)
+    if users.shape[0] < inter.num_users or items.shape[0] < inter.num_items:
+        print(
+            f"Error: model covers {users.shape[0]} users x {items.shape[0]} "
+            f"items but interactions reference {inter.num_users} x "
+            f"{inter.num_items}",
+            file=sys.stderr,
+        )
+        return 1
+    _, heldout, seen = mf.split_leave_k_out(inter, k=args.holdout, seed=args.seed)
+    m = mf.evaluate_ranking(users, items, heldout, k=args.k, train_mask=seen)
+    print(
+        f"recall@{args.k}={m['recall@k']:.4f} ndcg@{args.k}={m['ndcg@k']:.4f} "
+        f"({m['num_eval_users']} users)"
+    )
+    return 0
+
+
 def cmd_recommend_user(args) -> int:
     import numpy as np
 
@@ -319,6 +341,16 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--lr", type=float, default=1e-3)
     st.add_argument("--seed", type=int, default=0)
 
+    sev = sub.add_parser(
+        "evaluate-mf", help="recall@k / NDCG@k of an MF model on held-out data"
+    )
+    sev.add_argument("interactions", help="CSV/npz of (user, item, count)")
+    sev.add_argument("--mf", required=True, help="MF model .npz")
+    sev.add_argument("-k", type=int, default=10)
+    sev.add_argument("--holdout", type=int, default=2,
+                     help="interactions held out per user")
+    sev.add_argument("--seed", type=int, default=0)
+
     su = sub.add_parser(
         "recommend-user", help="top-N items for a user from a trained MF model"
     )
@@ -429,6 +461,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return cmd_train_mf(args)
     if args.command == "train-two-tower":
         return cmd_train_two_tower(args)
+    if args.command == "evaluate-mf":
+        return cmd_evaluate_mf(args)
     if args.command == "recommend-user":
         return cmd_recommend_user(args)
     if args.command == "embed-catalog":
