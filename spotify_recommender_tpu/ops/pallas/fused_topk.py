@@ -44,17 +44,6 @@ NEG_INF = np.float32(-np.inf)
 _BIG_I32 = np.int32(2**30)
 
 
-def _max_and_argmax(scores: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row max and FIRST (lowest-lane) argmax — the lowest-index tie
-    rule, matching lax.top_k and the pinned reference heap semantics."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    m = jnp.max(scores, axis=1)
-    am = jnp.min(
-        jnp.where(scores == m[:, None], lane, _BIG_I32), axis=1
-    )
-    return m, am
-
-
 def _fused_kernel(
     q_ref,        # (TQ, F)   queries tile
     qn_ref,       # (TQ, 1)   query norms
