@@ -16,10 +16,8 @@ from __future__ import annotations
 import dataclasses
 import json
 import time
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from spotify_recommender_tpu.core.logging import get_logger

@@ -21,7 +21,7 @@ import dataclasses
 import io
 import json
 import struct
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

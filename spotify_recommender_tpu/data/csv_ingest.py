@@ -30,7 +30,6 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from spotify_recommender_tpu.core.logging import get_logger, PhaseTimer
-from spotify_recommender_tpu.data import schema
 from spotify_recommender_tpu.data.schema import (
     FEATURE_COLUMNS,
     GENRE_COLUMN,

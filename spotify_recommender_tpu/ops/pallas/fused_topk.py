@@ -36,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from spotify_recommender_tpu.core.config import COSINE_EPS, RetrievalConfig
+from spotify_recommender_tpu.core.config import RetrievalConfig
 
 # numpy (not jnp) scalars: jnp constants become traced values that a Pallas
 # kernel body is not allowed to close over.
