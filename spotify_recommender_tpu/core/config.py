@@ -69,6 +69,12 @@ class RetrievalConfig:
     eps: float = COSINE_EPS
     # Use the fused Pallas kernel when possible; else the jnp oracle.
     use_pallas: bool = True
+    # Catalog storage dtype for the fused kernel. "bfloat16" halves HBM
+    # traffic and runs single-pass MXU dots (~0.4% score error; measured
+    # recall@10 vs exact reported in tests) — for learned-embedding
+    # serving tiers where bit-exactness is not contractual. Requires
+    # exact_scores=False.
+    dtype: str = "float32"
     # True: reproduce the reference's division-form cosine epilogue
     # (dot / (|x||q|) with the 1e-8 product guard) bit-faithfully.
     # False: pre-normalize catalog rows + queries at load time — the

@@ -87,7 +87,8 @@ def _fused_kernel(
         r_i[:] = jnp.full(r_i.shape, -1, jnp.int32)
 
     # --- score tile: dot + fused cosine epilogue -------------------------
-    if q_ref.shape[0] <= 16:
+    is_bf16 = f_ref.dtype == jnp.bfloat16
+    if q_ref.shape[0] <= 16 and not is_bf16:
         # Small query tiles: the MXU would pad rows to 128 and (at fp32
         # HIGHEST) run 6 passes — for tq=8 that's ~100x wasted FLOPs.  A
         # broadcast-FMA over the F dimension on the VPU is exact fp32 and
@@ -102,7 +103,14 @@ def _fused_kernel(
             f_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            # bf16 storage: native single-pass MXU; fp32: 6-pass for
+            # reference-exact accumulation (DEFAULT on fp32 is slower
+            # than HIGHEST due to conversion — measured)
+            precision=(
+                jax.lax.Precision.DEFAULT
+                if is_bf16
+                else jax.lax.Precision.HIGHEST
+            ),
         )                                                      # (TQ, TC)
     if exact:
         denom = qn_ref[:] * cn_ref[:]                          # (TQ, TC)
@@ -274,6 +282,7 @@ def _prepare_and_call(
         # cosine; zero-norm queries stay zero (score 0, matching the
         # reference's guard semantics)
         q_pad = q_pad / jnp.maximum(qn, jnp.float32(1e-30))
+    q_pad = q_pad.astype(features_t.dtype)
     if exclude_rows is None:
         excl = jnp.full((bp, 1), -1, jnp.int32)
     else:
@@ -315,6 +324,14 @@ class FusedRetriever:
         if norms is None:
             norms = np.linalg.norm(feats, axis=1).astype(np.float32)
         self.exact = config.exact_scores
+        self.dtype = (
+            jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        )
+        if self.dtype == jnp.bfloat16 and self.exact:
+            raise ValueError(
+                "bfloat16 catalog storage requires exact_scores=False "
+                "(bf16 dots cannot reproduce the reference fp32 math)"
+            )
         if not self.exact:
             # fast path: rows pre-normalized at build time; zero-norm rows
             # stay zero (dot 0 -> score 0, same as the reference guard)
@@ -323,7 +340,7 @@ class FusedRetriever:
         ft[:, :n] = feats.T
         nrm = np.zeros((1, np_pad), np.float32)
         nrm[0, :n] = norms
-        self.features_t = jax.device_put(ft)
+        self.features_t = jax.device_put(jnp.asarray(ft, self.dtype))
         self.norms = jax.device_put(nrm)
 
     def __call__(
@@ -368,3 +385,80 @@ def fused_score_topk(
         np.asarray(features), norms, config, interpret=interpret
     )
     return fr(queries, k, exclude_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "eps"))
+def _exact_rerank(
+    queries: jnp.ndarray,     # (B, F) fp32 raw queries
+    cand_idx: jnp.ndarray,    # (B, C) candidate rows from the prefilter
+    features: jnp.ndarray,    # (N, F) fp32 row-major catalog
+    norms: jnp.ndarray,       # (N,) fp32
+    k: int,
+    eps: float,
+):
+    """Exact reference-math rescore of prefiltered candidates + top-k.
+
+    Gather is O(B*C*F); the exact epilogue (fp32 HIGHEST dots, 1e-8
+    guard, clamp) matches ops/similarity.py bit-for-bit."""
+    cand = features[cand_idx]                                  # (B, C, F)
+    cand_n = norms[cand_idx]                                   # (B, C)
+    qn = jnp.linalg.norm(queries, axis=1)
+    dots = jnp.einsum(
+        "bf,bcf->bc", queries, cand,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    denom = qn[:, None] * cand_n
+    scores = jnp.where(
+        denom > jnp.float32(eps),
+        jnp.clip(dots / jnp.where(denom > jnp.float32(eps), denom, 1.0), -1, 1),
+        0.0,
+    )
+    # prefilter marks empty slots with index -1 (short catalogs): mask them
+    scores = jnp.where(cand_idx < 0, NEG_INF, scores)
+    top_s, pos = jax.lax.top_k(scores, k)
+    return top_s, jnp.take_along_axis(cand_idx, pos, axis=1)
+
+
+class PrefilterRetriever:
+    """Two-phase retrieval: bf16 fused prefilter to C candidates, then
+    exact fp32 rerank — near-exact recall at approximate-tier speed.
+
+    Not exactness-guaranteed (a true top-k item can in principle fall
+    outside the bf16 top-C), so the exact single-phase kernel remains the
+    default; measured recall is reported by the test suite and benchmark.
+    """
+
+    def __init__(
+        self,
+        features: np.ndarray,
+        norms: Optional[np.ndarray] = None,
+        config: Optional[RetrievalConfig] = None,
+        prefilter: int = 64,
+        interpret: bool = False,
+    ) -> None:
+        import dataclasses as _dc
+
+        config = config or RetrievalConfig()
+        bf16_cfg = _dc.replace(config, dtype="bfloat16", exact_scores=False)
+        feats = np.asarray(features, np.float32)
+        if norms is None:
+            norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        self.prefilter = min(prefilter, feats.shape[0])
+        self.eps = config.eps
+        self._approx = FusedRetriever(feats, norms, bf16_cfg, interpret=interpret)
+        self._features = jax.device_put(jnp.asarray(feats))
+        self._norms = jax.device_put(jnp.asarray(norms))
+
+    def __call__(
+        self,
+        queries: jnp.ndarray,
+        k: int,
+        exclude_rows: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        c = max(k, self.prefilter)
+        _, cand = self._approx(queries, c, exclude_rows)
+        return _exact_rerank(
+            queries, cand, self._features, self._norms, k=k, eps=self.eps
+        )

@@ -163,3 +163,80 @@ class TestShapeFuzz:
         )
         np.testing.assert_array_equal(np.asarray(f_i), np.asarray(o_i),
                                       err_msg=f"n={n} b={b} k={k} tq={tq} tc={tc} exact={exact}")
+
+
+class TestBf16Mode:
+    def test_bf16_requires_fast_mode(self):
+        feats = random_features(100, seed=40)
+        with pytest.raises(ValueError, match="bfloat16"):
+            FusedRetriever(
+                feats,
+                config=RetrievalConfig(dtype="bfloat16", exact_scores=True),
+            )
+
+    def test_bf16_high_recall(self):
+        feats = random_features(3000, seed=41)
+        q = feats[:32]
+        o_s, o_i = oracle(q, feats, 10)
+        cfg = RetrievalConfig(
+            query_tile=32, catalog_tile=256, dtype="bfloat16",
+            exact_scores=False,
+        )
+        f_s, f_i = FusedRetriever(feats, config=cfg, interpret=True)(
+            jnp.asarray(q), 10
+        )
+        # approximate tier: measure set-recall vs the exact oracle
+        recall = np.mean([
+            len(set(np.asarray(f_i)[b]) & set(np.asarray(o_i)[b])) / 10
+            for b in range(32)
+        ])
+        assert recall > 0.9, recall
+        # top-1 should essentially always survive bf16 error
+        top1 = (np.asarray(f_i)[:, 0] == np.asarray(o_i)[:, 0]).mean()
+        assert top1 > 0.9, top1
+
+
+class TestPrefilterRerank:
+    def test_near_exact_recall(self):
+        from spotify_recommender_tpu.ops.pallas.fused_topk import (
+            PrefilterRetriever,
+        )
+
+        feats = random_features(3000, seed=50)
+        q = feats[:32]
+        o_s, o_i = oracle(q, feats, 10)
+        pr = PrefilterRetriever(
+            feats,
+            config=RetrievalConfig(query_tile=32, catalog_tile=256),
+            prefilter=64,
+            interpret=True,
+        )
+        f_s, f_i = pr(jnp.asarray(q), 10)
+        recall = np.mean([
+            len(set(np.asarray(f_i)[b]) & set(np.asarray(o_i)[b])) / 10
+            for b in range(32)
+        ])
+        assert recall >= 0.99, recall
+        # reranked scores are exact where indices agree
+        agree = np.asarray(f_i) == np.asarray(o_i)
+        np.testing.assert_allclose(
+            np.asarray(f_s)[agree], np.asarray(o_s)[agree], rtol=1e-6
+        )
+
+    def test_exclusion_respected(self):
+        from spotify_recommender_tpu.ops.pallas.fused_topk import (
+            PrefilterRetriever,
+        )
+
+        feats = random_features(500, seed=51)
+        excl = np.arange(8, dtype=np.int32)
+        pr = PrefilterRetriever(
+            feats,
+            config=RetrievalConfig(query_tile=8, catalog_tile=128),
+            prefilter=32,
+            interpret=True,
+        )
+        _, rows = pr(jnp.asarray(feats[:8]), 10, jnp.asarray(excl))
+        rows = np.asarray(rows)
+        for b in range(8):
+            assert b not in rows[b]
