@@ -94,3 +94,18 @@ class TestNativeParity:
         py, nat = both(HEADER, lines)
         assert_tables_equal(py, nat)
         assert nat.track_names[0] == "Chanson être ☆"
+
+
+class TestThreadDeterminism:
+    def test_genre_ids_invariant_across_thread_counts(self, tmp_path):
+        # the reference's genre ids depend on OpenMP interleaving
+        # (DataManager.cpp:244-251); ours must not depend on thread count
+        from conftest import make_songs_csv
+
+        p = make_songs_csv(tmp_path / "d.csv", n_rows=3000, n_genres=30, seed=9)
+        data = p.read_bytes()
+        t1 = native_ingest.parse_csv_buffer(data, num_threads=1)
+        t8 = native_ingest.parse_csv_buffer(data, num_threads=8)
+        assert t1.genre_names == t8.genre_names
+        np.testing.assert_array_equal(t1.genre_ids, t8.genre_ids)
+        np.testing.assert_array_equal(t1.raw_features, t8.raw_features)
