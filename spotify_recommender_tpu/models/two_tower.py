@@ -151,6 +151,41 @@ def same_genre_pairs(
     return q.astype(np.float32), features[positives].astype(np.float32)
 
 
+def colisten_pair_fn(
+    interactions,
+    features: np.ndarray,
+    rng: np.random.Generator,
+    noise: float = 0.0,
+):
+    """Pair source from implicit feedback: positives are two items played
+    by the same user (co-listen), the standard collaborative signal for
+    two-tower training. Returns a pair_fn(batch_size) for `train`.
+
+    `interactions` is a models.mf.Interactions; users with fewer than two
+    interactions are excluded."""
+    users = [
+        interactions.item_idx[u][interactions.mask[u]]
+        for u in range(interactions.num_users)
+    ]
+    users = [items for items in users if len(items) >= 2]
+    if not users:
+        raise ValueError("no users with >= 2 interactions")
+
+    def pair_fn(batch_size: int):
+        q_rows = np.empty(batch_size, np.int64)
+        p_rows = np.empty(batch_size, np.int64)
+        for b in range(batch_size):
+            items = users[rng.integers(0, len(users))]
+            a, p = rng.choice(len(items), size=2, replace=False)
+            q_rows[b], p_rows[b] = items[a], items[p]
+        q = features[q_rows].astype(np.float32)
+        if noise:
+            q = q + noise * rng.standard_normal(q.shape).astype(np.float32)
+        return q, features[p_rows].astype(np.float32)
+
+    return pair_fn
+
+
 def train(
     features: np.ndarray,
     genre_ids: np.ndarray,

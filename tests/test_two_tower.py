@@ -182,3 +182,52 @@ class TestCheckpointResume:
         r = two_tower.train(feats, genres, longer, checkpoint_dir=d,
                             checkpoint_every=1)
         assert np.isfinite(r.losses[-1])
+
+
+class TestColistenPairs:
+    def test_colisten_learns_item_affinity(self):
+        """Users listen within one of two item clusters; co-listen training
+        must embed same-cluster items closer than cross-cluster."""
+        from spotify_recommender_tpu.models import mf
+
+        rng = np.random.default_rng(0)
+        n_items = 200
+        # features are random (no genre signal) and directionally spread;
+        # the ONLY structure is in who co-listens to what
+        feats = rng.standard_normal((n_items, 12)).astype(np.float32)
+        cluster = (np.arange(n_items) >= n_items // 2).astype(int)
+        users, items = [], []
+        for u in range(300):
+            c = u % 2
+            pool = np.flatnonzero(cluster == c)
+            its = rng.choice(pool, size=6, replace=False)
+            users.extend([u] * 6)
+            items.extend(its)
+        inter = mf.Interactions.from_coo(
+            np.asarray(users), np.asarray(items),
+            np.ones(len(users), np.float32), 300, n_items,
+        )
+        cfg = TwoTowerConfig(embedding_dim=16, hidden_dims=(64,), batch_size=128,
+                             num_steps=800, learning_rate=1e-2,
+                             temperature=0.2, seed=0)
+        pair_fn = two_tower.colisten_pair_fn(inter, feats, rng)
+        result = two_tower.train(feats, np.zeros(n_items, np.int32), cfg,
+                                 pair_fn=pair_fn)
+        emb = two_tower.embed_catalog(result.params, feats, cfg)
+        sims = emb @ emb.T
+        same = cluster[:, None] == cluster[None, :]
+        intra = sims[same & ~np.eye(n_items, dtype=bool)].mean()
+        inter_sim = sims[~same].mean()
+        assert intra > inter_sim + 0.1, (intra, inter_sim)
+
+    def test_requires_multi_item_users(self):
+        from spotify_recommender_tpu.models import mf
+
+        inter = mf.Interactions.from_coo(
+            np.asarray([0, 1]), np.asarray([0, 1]),
+            np.ones(2, np.float32), 2, 2,
+        )
+        with pytest.raises(ValueError, match=">= 2"):
+            two_tower.colisten_pair_fn(
+                inter, np.zeros((2, 12), np.float32), np.random.default_rng(0)
+            )
