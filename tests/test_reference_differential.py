@@ -1,0 +1,130 @@
+"""Differential parity against the GENUINE reference implementation.
+
+Builds the reference C++ sources (read-only at /root/reference) as a
+CPU-only binary — g++ with a CUDA-runtime stub standing in for nvcc's
+implicit declarations (tests/reference_build/cuda_stub.h) — then runs both
+engines on the same data and requires identical results:
+
+- preprocessing: the reference's `songs_data.bin` vs our pipeline on the
+  same CSV → identical feature matrices, genre maps, metadata (the
+  reference built without OpenMP is single-threaded, so its genre order
+  equals our deterministic first-appearance order);
+- retrieval: reference `--song/-n` output rankings vs our Retriever on the
+  reference's own catalog → identical top-N lists.
+"""
+
+import os
+import re
+import subprocess
+import shutil
+
+import numpy as np
+import pytest
+
+from conftest import make_songs_csv
+
+REFERENCE_DIR = "/root/reference"
+STUB = os.path.join(os.path.dirname(__file__), "reference_build", "cuda_stub.h")
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None or not os.path.isdir(REFERENCE_DIR),
+    reason="g++ or reference sources unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_binary(tmp_path_factory):
+    d = tmp_path_factory.mktemp("refbuild")
+    binary = str(d / "reference_recommender")
+    cmd = [
+        "g++", "-std=c++11", "-O2", "-DDISABLE_CUDA",
+        "-include", STUB, f"-I{REFERENCE_DIR}", "-x", "c++",
+        f"{REFERENCE_DIR}/main.cpp",
+        f"{REFERENCE_DIR}/DataManager.cpp",
+        f"{REFERENCE_DIR}/Recommender.cu",
+        "-o", binary, "-ldl",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        pytest.skip(f"reference build failed: {proc.stderr[:400]}")
+    return binary
+
+
+@pytest.fixture(scope="module")
+def workdir(ref_binary, tmp_path_factory):
+    d = tmp_path_factory.mktemp("refdiff")
+    make_songs_csv(d / "songs.csv", n_rows=800, n_genres=7, seed=123)
+    subprocess.run(
+        [ref_binary, "--preprocess", "songs.csv"],
+        cwd=d, capture_output=True, text=True, check=True,
+    )
+    assert (d / "songs_data.bin").exists()
+    return d
+
+
+def ref_recommendations(ref_binary, workdir, query, n, by_id=False):
+    mode = "--id" if by_id else "--song"
+    proc = subprocess.run(
+        [ref_binary, mode, query, "-n", str(n)],
+        cwd=workdir, capture_output=True, text=True, check=True,
+    )
+    return re.findall(r'^\d+\. "(.*)"$', proc.stdout, re.MULTILINE)
+
+
+class TestPreprocessingParity:
+    def test_binary_catalog_matches_our_pipeline(self, workdir):
+        from spotify_recommender_tpu.data.catalog import Catalog, preprocess_csv
+
+        ref_cat = Catalog.load_reference_binary(str(workdir / "songs_data.bin"))
+        ours = preprocess_csv(str(workdir / "songs.csv"))
+        assert len(ours) == len(ref_cat)
+        assert list(ours.track_ids) == list(ref_cat.track_ids)
+        assert ours.genre_names == ref_cat.genre_names
+        np.testing.assert_array_equal(ours.genre_ids, ref_cat.genre_ids)
+        # fp32 feature parity within 1 ulp (the reference divides directly;
+        # our vectorized min-max is fp32-faithful)
+        np.testing.assert_allclose(
+            ours.features, ref_cat.features, atol=6.5e-8, rtol=0
+        )
+
+
+class TestRetrievalParity:
+    @pytest.mark.parametrize("query,n", [("Song 42", 10), ("Song 7", 5),
+                                          ("Song 599", 25)])
+    def test_by_name_matches_reference(self, ref_binary, workdir, query, n):
+        from spotify_recommender_tpu.core.config import RetrievalConfig
+        from spotify_recommender_tpu.data.catalog import Catalog
+        from spotify_recommender_tpu.retrieval.retriever import Retriever
+
+        expected = ref_recommendations(ref_binary, workdir, query, n)
+        assert len(expected) == n
+        cat = Catalog.load_reference_binary(str(workdir / "songs_data.bin"))
+        r = Retriever(cat, RetrievalConfig(use_pallas=False))
+        recs = r.recommend_by_name(query, n)
+        assert [x.track_name for x in recs] == expected
+
+    def test_by_id_matches_reference(self, ref_binary, workdir):
+        from spotify_recommender_tpu.core.config import RetrievalConfig
+        from spotify_recommender_tpu.data.catalog import Catalog
+        from spotify_recommender_tpu.retrieval.retriever import Retriever
+
+        expected = ref_recommendations(
+            ref_binary, workdir, "id00100", 10, by_id=True
+        )
+        cat = Catalog.load_reference_binary(str(workdir / "songs_data.bin"))
+        r = Retriever(cat, RetrievalConfig(use_pallas=False))
+        recs = r.recommend_by_id("id00100", 10)
+        assert [x.track_name for x in recs] == expected
+
+    def test_our_preprocessing_gives_same_rankings(self, ref_binary, workdir):
+        """Full-pipeline differential: reference CSV->bin->rank vs our
+        CSV->catalog->rank, no shared artifacts."""
+        from spotify_recommender_tpu.core.config import RetrievalConfig
+        from spotify_recommender_tpu.data.catalog import preprocess_csv
+        from spotify_recommender_tpu.retrieval.retriever import Retriever
+
+        expected = ref_recommendations(ref_binary, workdir, "Song 17", 10)
+        ours = preprocess_csv(str(workdir / "songs.csv"))
+        r = Retriever(ours, RetrievalConfig(use_pallas=False))
+        recs = r.recommend_by_name("Song 17", 10)
+        assert [x.track_name for x in recs] == expected
