@@ -5,7 +5,9 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "details": {...}}
 
 Workload: the BASELINE.json north-star — exact top-10 cosine retrieval,
-batched queries, 1M-item catalog, one chip.
+batched queries, 1M-item catalog, one chip (certified-exact path), with
+auxiliary rows (10M items, 64-dim learned embeddings, bf16 approximate
+tier) in the details.
 """
 
 import json
@@ -15,13 +17,7 @@ import sys
 def main() -> int:
     from spotify_recommender_tpu import benchmark
 
-    result = benchmark.run_benchmark(
-        num_items=1_000_000,
-        num_queries=1024,
-        feature_dim=12,
-        k=10,
-        backend="auto",
-    )
+    result = benchmark.run_benchmark_suite()
     print(benchmark.to_json_line(result))
     return 0
 

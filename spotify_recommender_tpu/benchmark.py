@@ -66,22 +66,52 @@ def run_benchmark(
     dev_excl = jax.device_put(q_rows)
 
     platform = jax.devices()[0].platform
-    use_pallas = backend == "pallas" or (
+    use_pallas = backend in ("pallas", "bf16", "certified") or (
         backend == "auto" and jax.default_backend() == "tpu"
     )
 
+    fr = None
     if use_pallas:
         try:
-            from spotify_recommender_tpu.ops.pallas.fused_topk import (
-                FusedRetriever,
-            )
+            if backend == "pallas":
+                from spotify_recommender_tpu.ops.pallas.fused_topk import (
+                    FusedRetriever,
+                )
 
-            fr = FusedRetriever(feats, norms)
+                fr = FusedRetriever(feats, norms)
+                chosen = "pallas"
+            elif backend == "bf16":
+                import dataclasses as _dc
+
+                from spotify_recommender_tpu.core.config import (
+                    RetrievalConfig,
+                )
+                from spotify_recommender_tpu.ops.pallas.fused_topk import (
+                    FusedRetriever,
+                )
+
+                fr = FusedRetriever(
+                    feats, norms,
+                    RetrievalConfig(dtype="bfloat16", exact_scores=False),
+                )
+                chosen = "bf16-approx"
+            else:
+                # default exact path: certified bf16x2 prefilter + exact
+                # fp32 rerank + exactness certificate (oracle fallback on
+                # the provably-ambiguous queries)
+                from spotify_recommender_tpu.ops.pallas.fused_topk import (
+                    CertifiedRetriever,
+                )
+
+                # sync_check=False: overflow flags are drained AFTER the
+                # timed loop (verify_no_overflow) — per-call host checks
+                # would bill the tunnel's ~30 ms round trip to the kernel
+                fr = CertifiedRetriever(feats, norms, sync_check=False)
+                chosen = "certified"
 
             def step(q):
                 return fr(q, k, dev_excl)
 
-            chosen = "pallas"
         except Exception as e:
             log.warning("pallas unavailable (%s); using XLA backend", e)
             use_pallas = False
@@ -120,25 +150,81 @@ def run_benchmark(
     bytes_streamed = num_items * feature_dim * 4 + num_items * 4
     gbps = bytes_streamed / t_med / 1e9
 
+    exact = chosen in ("certified", "pallas", "xla")
+    details = {
+        "backend": chosen,
+        "platform": platform,
+        "num_items": num_items,
+        "num_queries": num_queries,
+        "feature_dim": feature_dim,
+        "k": k,
+        "exact": exact,
+        "batch_latency_ms": round(t_med * 1e3, 3),
+        "effective_catalog_stream_GBps": round(gbps, 1),
+        "compile_plus_warmup_s": round(compile_time, 2),
+    }
+    if chosen == "certified":
+        overflowed = fr.verify_no_overflow()
+        if overflowed:  # pragma: no cover - would void the exactness claim
+            raise RuntimeError(
+                f"certified fallback capacity overflowed in {overflowed} "
+                "batches — results not exact; raise fallback_cap"
+            )
+        details["certificate_fallback_queries_per_batch"] = (
+            fr.fallbacks // max(1, warmup + iters + 1)
+        )
     result = BenchResult(
-        metric=f"queries/sec/chip exact top-{k} over {num_items} items",
+        metric=(
+            f"queries/sec/chip {'exact' if exact else 'approx'} "
+            f"top-{k} over {num_items} items"
+        ),
         value=round(qps, 1),
         unit="queries/sec",
         vs_baseline=round(qps / REFERENCE_QPS, 2),
-        details={
-            "backend": chosen,
-            "platform": platform,
-            "num_items": num_items,
-            "num_queries": num_queries,
-            "feature_dim": feature_dim,
-            "k": k,
-            "batch_latency_ms": round(t_med * 1e3, 3),
-            "effective_catalog_stream_GBps": round(gbps, 1),
-            "compile_plus_warmup_s": round(compile_time, 2),
-        },
+        details=details,
     )
     log.info("benchmark: %s", result)
     return result
+
+
+def run_benchmark_suite() -> BenchResult:
+    """Driver-facing suite: headline 1M exact row plus the BASELINE's
+    auxiliary configs (10M exact, 64-dim learned-embedding serving, bf16
+    approximate tier) folded into the details."""
+    headline = run_benchmark(
+        num_items=1_000_000, num_queries=1024, feature_dim=12, k=10,
+    )
+    extras = {}
+    try:
+        r10m = run_benchmark(
+            num_items=10_000_000, num_queries=1024, feature_dim=12, k=10,
+            warmup=1, iters=4,
+        )
+        extras["exact_10M_qps"] = r10m.value
+        extras["exact_10M_batch_ms"] = r10m.details["batch_latency_ms"]
+        extras["exact_10M_stream_GBps"] = r10m.details[
+            "effective_catalog_stream_GBps"
+        ]
+    except Exception as e:  # pragma: no cover - bench resilience
+        log.warning("10M bench failed: %s", e)
+    try:
+        r64 = run_benchmark(
+            num_items=1_000_000, num_queries=1024, feature_dim=64, k=10,
+            warmup=1, iters=6,
+        )
+        extras["exact_1M_64dim_qps"] = r64.value
+    except Exception as e:  # pragma: no cover
+        log.warning("64-dim bench failed: %s", e)
+    try:
+        rb = run_benchmark(
+            num_items=1_000_000, num_queries=1024, feature_dim=12, k=10,
+            backend="bf16", warmup=1, iters=6,
+        )
+        extras["approx_bf16_1M_qps"] = rb.value
+    except Exception as e:  # pragma: no cover
+        log.warning("bf16 bench failed: %s", e)
+    headline.details.update(extras)
+    return headline
 
 
 def to_json_line(r: BenchResult) -> str:

@@ -42,6 +42,36 @@ def _load_catalog(path: str):
     return Catalog.load(path)
 
 
+def _parse_mesh(spec: Optional[str]):
+    """``--mesh data=N,catalog=M`` → jax.sharding.Mesh (None when absent).
+
+    Either axis may be omitted (defaults to 1); the product must not
+    exceed the visible device count (core.mesh.make_mesh validates).
+    """
+    if not spec:
+        return None
+    from spotify_recommender_tpu.core.config import MeshConfig
+    from spotify_recommender_tpu.core.mesh import make_mesh
+
+    axes = {"data": 1, "catalog": 1}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise SystemExit(
+                f"--mesh expects axis=N pairs (e.g. data=8,catalog=1), got {part!r}"
+            )
+        name, _, val = part.partition("=")
+        name = name.strip()
+        if name not in axes:
+            raise SystemExit(
+                f"--mesh axis must be 'data' or 'catalog', got {name!r}"
+            )
+        axes[name] = int(val)
+    return make_mesh(MeshConfig(data=axes["data"], catalog=axes["catalog"]))
+
+
 def cmd_preprocess(csv_path: str, output: str) -> int:
     from spotify_recommender_tpu.data.catalog import preprocess_csv
 
@@ -116,7 +146,7 @@ def cmd_retrieve(args) -> int:
         with np.load(args.queries) as z:
             queries = z["queries"]
     cat = _load_catalog(args.catalog)
-    retriever = Retriever(cat)
+    retriever = Retriever(cat, mesh=_parse_mesh(args.mesh))
     scores, rows = retriever.retrieve(queries, k=args.k)
     scores, rows = np.asarray(scores), np.asarray(rows)
     if args.output:
@@ -167,7 +197,12 @@ def cmd_train_mf(args) -> int:
         alpha=args.alpha,
         seed=args.seed,
     )
-    return mf.train_from_cli(args.interactions, cfg, args.output, solver=args.solver)
+    return mf.train_from_cli(
+        args.interactions, cfg, args.output, solver=args.solver,
+        mesh=_parse_mesh(args.mesh),
+        shard_tables=args.shard_tables,
+        checkpoint_dir=args.checkpoint_dir,
+    )
 
 
 def cmd_train_two_tower(args) -> int:
@@ -181,7 +216,11 @@ def cmd_train_two_tower(args) -> int:
         learning_rate=args.lr,
         seed=args.seed,
     )
-    return two_tower.train_from_cli(args.catalog, cfg, args.output)
+    return two_tower.train_from_cli(
+        args.catalog, cfg, args.output,
+        mesh=_parse_mesh(args.mesh),
+        checkpoint_dir=args.checkpoint_dir,
+    )
 
 
 def cmd_evaluate_mf(args) -> int:
@@ -314,6 +353,8 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--catalog", default=DEFAULT_CATALOG)
     sv.add_argument("-o", "--output", default=None,
                     help="write results to .npz (default: print JSON)")
+    sv.add_argument("--mesh", default=None,
+                    help="device mesh, e.g. data=1,catalog=8 (row-sharded catalog)")
 
     sb = sub.add_parser("benchmark", help="retrieval throughput benchmark")
     sb.add_argument("--items", type=int, default=1_000_000)
@@ -331,6 +372,13 @@ def build_parser() -> argparse.ArgumentParser:
     sm.add_argument("--alpha", type=float, default=40.0)
     sm.add_argument("--solver", default="als", choices=["als", "sgd"])
     sm.add_argument("--seed", type=int, default=0)
+    sm.add_argument("--mesh", default=None,
+                    help="device mesh, e.g. data=8 (SGD) or catalog=8 (ALS)")
+    sm.add_argument("--shard-tables", action="store_true",
+                    help="row-shard the factor tables over the mesh "
+                         "(for tables beyond one chip's HBM)")
+    sm.add_argument("--checkpoint-dir", default=None,
+                    help="Orbax checkpoint dir (resume from latest)")
 
     st = sub.add_parser("train-two-tower", help="two-tower retrieval model")
     st.add_argument("--catalog", default=DEFAULT_CATALOG)
@@ -340,6 +388,10 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--batch-size", type=int, default=1024)
     st.add_argument("--lr", type=float, default=1e-3)
     st.add_argument("--seed", type=int, default=0)
+    st.add_argument("--mesh", default=None,
+                    help="device mesh, e.g. data=8 (data-parallel batches)")
+    st.add_argument("--checkpoint-dir", default=None,
+                    help="Orbax checkpoint dir (resume from latest)")
 
     sev = sub.add_parser(
         "evaluate-mf", help="recall@k / NDCG@k of an MF model on held-out data"

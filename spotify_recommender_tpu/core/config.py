@@ -81,6 +81,13 @@ class RetrievalConfig:
     # mathematically identical fast path (scores = clipped dots), cheaper
     # per element; orderings agree except at 1-ulp ties.
     exact_scores: bool = True
+    # CertifiedRetriever: candidates kept by the bf16x2 prefilter before
+    # the exact fp32 rerank; larger = fewer certificate fallbacks.
+    prefilter: int = 32
+    # Proven |approx - exact| bound for the bf16x2 split-plane dot
+    # (see ops/pallas/fused_topk.py BF16X2_EPS derivation); the certified
+    # tier's exactness certificate uses this margin.
+    certify_eps: float = 2e-5
 
 
 @dataclasses.dataclass(frozen=True)

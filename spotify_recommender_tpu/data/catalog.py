@@ -56,25 +56,45 @@ class Catalog:
     max_vals: np.ndarray      # (F-1,) fp32 per-feature max
 
     def __post_init__(self) -> None:
-        self.features = np.ascontiguousarray(self.features, dtype=np.float32)
+        f = self.features
+        if not (
+            isinstance(f, np.ndarray)
+            and f.dtype == np.float32
+            and f.flags["C_CONTIGUOUS"]
+        ):
+            # leave already-conformant arrays (incl. read-only memmaps of
+            # the directory format) untouched — no copy on load
+            self.features = np.ascontiguousarray(f, dtype=np.float32)
         if self.norms is None or len(self.norms) != len(self.features):
             self.norms = np.linalg.norm(self.features, axis=1).astype(np.float32)
 
     def __len__(self) -> int:
         return self.features.shape[0]
 
-    def validate(self) -> None:
+    def validate(self, sample: Optional[int] = None) -> None:
         """Fail-fast artifact validation (SURVEY.md §5 failure-detection:
         the reference trusts its binary blindly, DataManager.cpp:363-409;
-        we verify structural integrity on load)."""
+        we verify structural integrity on load).
+
+        With `sample`, the finite-values scan checks only the first/last
+        `sample` rows — for memory-mapped catalogs where touching every
+        page on load would defeat the O(0)-load format."""
         n = len(self)
         problems = []
         for name in ("norms", "track_ids", "track_names", "artists", "genre_ids"):
             arr = getattr(self, name)
             if len(arr) != n:
                 problems.append(f"{name} has {len(arr)} entries, expected {n}")
-        if n and not np.isfinite(self.features).all():
-            problems.append("features contain non-finite values")
+        if n:
+            if sample is None or 2 * sample >= n:
+                finite = np.isfinite(self.features).all()
+            else:
+                finite = (
+                    np.isfinite(self.features[:sample]).all()
+                    and np.isfinite(self.features[-sample:]).all()
+                )
+            if not finite:
+                problems.append("features contain non-finite values")
         if n and self.genre_ids.size:
             gmax = int(self.genre_ids.max())
             if gmax >= len(self.genre_names):
@@ -115,8 +135,92 @@ class Catalog:
         )
         log.info("catalog saved: %s (%d items, %d genres)", path, len(self), self.num_genres)
 
+    # --------------------------------------------- directory (memmap) io
+
+    _DIR_ARRAYS = (
+        "features", "norms", "track_ids", "track_names", "artists",
+        "genre_ids", "min_vals", "max_vals",
+    )
+
+    def save_dir(self, path: str) -> None:
+        """Write the memory-mappable directory format: one uncompressed
+        .npy per column + meta.json.  Loading is O(0) in catalog size
+        (np.load(mmap_mode="r") maps pages on demand) — the multi-GB
+        answer to the reference's read-everything binary
+        (DataManager.cpp:363-409) and to the compressed npz's whole-file
+        decompress."""
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "features.npy"), self.features)
+        np.save(os.path.join(path, "norms.npy"), self.norms)
+        np.save(
+            os.path.join(path, "track_ids.npy"),
+            np.asarray(self.track_ids, dtype=np.str_),
+        )
+        np.save(
+            os.path.join(path, "track_names.npy"),
+            np.asarray(self.track_names, dtype=np.str_),
+        )
+        np.save(
+            os.path.join(path, "artists.npy"),
+            np.asarray(self.artists, dtype=np.str_),
+        )
+        np.save(os.path.join(path, "genre_ids.npy"),
+                self.genre_ids.astype(np.int32))
+        np.save(os.path.join(path, "min_vals.npy"), self.min_vals)
+        np.save(os.path.join(path, "max_vals.npy"), self.max_vals)
+        meta = {
+            "format_version": CATALOG_FORMAT_VERSION,
+            "layout": "dir-v1",
+            "feature_columns": list(FEATURE_COLUMNS) + ["genre"],
+            "num_items": len(self),
+            "num_genres": self.num_genres,
+            "genre_names": list(self.genre_names),
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        log.info(
+            "catalog saved (dir/memmap): %s (%d items, %d genres)",
+            path, len(self), self.num_genres,
+        )
+
+    @classmethod
+    def load_dir(cls, path: str, mmap: bool = True) -> "Catalog":
+        """Load the directory format; with `mmap` (default) every array is
+        memory-mapped read-only — no bulk read, works for catalogs larger
+        than RAM (validation samples pages instead of touching all)."""
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        if meta["format_version"] > CATALOG_FORMAT_VERSION:
+            raise ValueError(
+                f"catalog {path} has format v{meta['format_version']}, "
+                f"this build reads <= v{CATALOG_FORMAT_VERSION}"
+            )
+        mode = "r" if mmap else None
+        arrays = {
+            name: np.load(
+                os.path.join(path, f"{name}.npy"),
+                mmap_mode=mode, allow_pickle=False,
+            )
+            for name in cls._DIR_ARRAYS
+        }
+        cat = cls(genre_names=[str(g) for g in meta["genre_names"]], **arrays)
+        cat.validate(sample=4096 if mmap else None)
+        log.info(
+            "catalog loaded (dir%s): %s (%d items)",
+            "/memmap" if mmap else "", path, len(cat),
+        )
+        return cat
+
     @classmethod
     def load(cls, path: str) -> "Catalog":
+        import os
+
+        if os.path.isdir(path):
+            return cls.load_dir(path)
         with np.load(path, allow_pickle=False) as z:
             meta = json.loads(str(z["meta"]))
             if meta["format_version"] > CATALOG_FORMAT_VERSION:

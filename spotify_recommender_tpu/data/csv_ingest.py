@@ -102,10 +102,16 @@ def _feature_value(col: str, value: str) -> Optional[float]:
 
 
 def parse_csv_rows(
-    header_line: str, data_lines: Sequence[str]
+    header_line: str,
+    data_lines: Sequence[str],
+    genre_to_id: Optional[Dict[str, int]] = None,
 ) -> RawTable:
     """Parse + validate rows. Raises ValueError on missing required columns
-    (reference DataManager.cpp:127-132)."""
+    (reference DataManager.cpp:127-132).
+
+    `genre_to_id` carries the dense genre map across streamed chunks
+    (mutated in place); first-appearance order is then global across the
+    whole stream, identical to a single-shot parse."""
     header = parse_csv_line(strip_bom(header_line))
     column_map: Dict[str, int] = {name: i for i, name in enumerate(header)}
     missing = [c for c in REQUIRED_COLUMNS if c not in column_map]
@@ -157,7 +163,8 @@ def parse_csv_rows(
         genres.append(genre)
 
     # Dense genre ids in deterministic first-appearance order.
-    genre_to_id: Dict[str, int] = {}
+    if genre_to_id is None:
+        genre_to_id = {}
     genre_ids = np.empty(len(genres), dtype=np.int32)
     for i, g in enumerate(genres):
         gid = genre_to_id.get(g)

@@ -80,30 +80,27 @@ class Interactions:
         users, items, counts = users[order], items[order], counts[order]
         degrees = np.bincount(users, minlength=nu)
         md = int(max_degree or degrees.max())
+        # fully vectorized padded-ragged construction (no per-user Python
+        # loop — at north-star scale that loop dominated ALS wall-clock):
+        # position of each interaction within its user's sorted run
+        starts = np.concatenate([[0], np.cumsum(degrees)[:-1]])
+        pos = np.arange(len(users)) - np.repeat(starts, degrees)
+        keep = pos < md
         item_idx = np.zeros((nu, md), np.int32)
         conf = np.zeros((nu, md), np.float32)
         mask = np.zeros((nu, md), bool)
-        starts = np.concatenate([[0], np.cumsum(degrees)])
-        for u in range(nu):
-            d = min(int(degrees[u]), md)
-            s = starts[u]
-            item_idx[u, :d] = items[s : s + d]
-            conf[u, :d] = counts[s : s + d]
-            mask[u, :d] = True
+        item_idx[users[keep], pos[keep]] = items[keep]
+        conf[users[keep], pos[keep]] = counts[keep]
+        mask[users[keep], pos[keep]] = True
         return cls(item_idx, conf, mask, nu, ni)
 
     def transpose(self, max_degree: Optional[int] = None) -> "Interactions":
         """Item-major view (for the item half-step of ALS)."""
-        u, i, c = [], [], []
-        for uu in range(self.num_users):
-            valid = self.mask[uu]
-            i.append(self.item_idx[uu][valid])
-            c.append(self.confidence[uu][valid])
-            u.append(np.full(valid.sum(), uu, np.int64))
+        uu, jj = np.nonzero(self.mask)  # row-major: ascending user order
         return Interactions.from_coo(
-            np.concatenate(i),  # items become the "users" of the view
-            np.concatenate(u),
-            np.concatenate(c),
+            self.item_idx[uu, jj].astype(np.int64),  # items become "users"
+            uu.astype(np.int64),
+            self.confidence[uu, jj],
             num_users=self.num_items,
             num_items=self.num_users,
             max_degree=max_degree,
@@ -206,6 +203,70 @@ def make_sharded_half_step(mesh, reg: float, alpha: float, axis: str = "catalog"
     )
 
 
+def _als_solve_sharded_table(
+    other_shard: jnp.ndarray,  # (M/shards, D) row-shard of the fixed table
+    item_idx: jnp.ndarray,     # (N/shards, md) this shard's solve rows
+    confidence: jnp.ndarray,
+    mask: jnp.ndarray,
+    reg: float,
+    alpha: float,
+    axis: str,
+) -> jnp.ndarray:
+    """ALS half-step where the fixed `other` table is ALSO row-sharded
+    (for factor tables beyond one chip's HBM — SURVEY §7 step 4).
+
+    The neighbor gather becomes a **sharded embedding lookup** — the
+    all-gather(ids) → masked-local-gather → psum_scatter exchange of
+    parallel/embedding.sharded_ids_lookup — and the Gramian is assembled
+    by psum of per-shard partials.  Each device then solves only its
+    row-shard of the output table; no device ever holds a full table.
+    """
+    from spotify_recommender_tpu.parallel.embedding import sharded_ids_lookup
+
+    d = other_shard.shape[1]
+    gram = jax.lax.psum(
+        jnp.dot(
+            other_shard.T, other_shard,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ),
+        axis,
+    )                                                     # (D, D) global
+    y = sharded_ids_lookup(other_shard, item_idx, axis)   # (n, md, D)
+    w = jnp.where(mask, alpha * confidence, 0.0)
+    cpref = jnp.where(mask, 1.0 + alpha * confidence, 0.0)
+    a = (
+        gram[None]
+        + jnp.einsum("nj,njd,nje->nde", w, y, y)
+        + reg * jnp.eye(d, dtype=other_shard.dtype)[None]
+    )
+    b = jnp.einsum("nj,njd->nd", cpref, y)
+    chol = jax.scipy.linalg.cho_factor(a, lower=True)
+    return jax.scipy.linalg.cho_solve(chol, b)
+
+
+def make_sharded_table_half_step(
+    mesh, reg: float, alpha: float, axis: str = "catalog"
+):
+    """Half-step with BOTH tables row-sharded over `axis` (nothing
+    replicated): in + out factor tables live distributed; the exchange is
+    the embedding lookup's psum over ICI."""
+    from jax.sharding import PartitionSpec as P
+
+    body = partial(_als_solve_sharded_table, reg=reg, alpha=alpha, axis=axis)
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P(axis, None), P(axis, None), P(axis, None), P(axis, None)
+            ),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+
+
 def _pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
     pad = (-x.shape[0]) % multiple
     if pad == 0:
@@ -221,11 +282,19 @@ def train_als(
     item_view: Optional[Interactions] = None,
     callback=None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    shard_tables: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full alternating loop. Returns (user_factors, item_factors).
 
     With a mesh, each half-step's solves are row-sharded over the mesh's
-    "catalog" axis (device-data-parallel ALS)."""
+    "catalog" axis (device-data-parallel ALS).  With `shard_tables`, the
+    factor tables themselves are row-sharded too (nothing replicated) and
+    neighbor vectors are exchanged via the sharded-embedding lookup — for
+    tables beyond one chip's HBM.  With `checkpoint_dir`, factor tables
+    checkpoint every `checkpoint_every` iterations (Orbax) and training
+    resumes from the latest checkpoint if one exists."""
     rng = np.random.default_rng(config.seed)
     d = config.embedding_dim
     scale = 1.0 / np.sqrt(d)
@@ -249,28 +318,64 @@ def train_als(
         (rng.normal(size=(inter.num_items, d)) * scale).astype(np.float32),
         n_shards,
     )
-    users = jnp.asarray(users)
-    items = jnp.asarray(items)
+    if mesh is not None and shard_tables:
+        # distributed placement: no device holds a full table
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if mesh is not None:
+        sh = NamedSharding(mesh, P("catalog", None))
+        users = jax.device_put(jnp.asarray(users), sh)
+        items = jax.device_put(jnp.asarray(items), sh)
+        step = make_sharded_table_half_step(mesh, config.reg, config.alpha)
+
+        def half(_, other, idx, conf, mask):
+            return step(other, idx, conf, mask)
+
+    elif mesh is not None:
+        users = jnp.asarray(users)
+        items = jnp.asarray(items)
         step = make_sharded_half_step(mesh, config.reg, config.alpha)
 
         def half(_, other, idx, conf, mask):
             return step(other, idx, conf, mask)
 
     else:
+        users = jnp.asarray(users)
+        items = jnp.asarray(items)
         half = partial(
             _als_half_step, reg=config.reg, alpha=config.alpha
         )
 
+    ckpt_mgr = None
+    start_iter = 0
+    if checkpoint_dir is not None:
+        from spotify_recommender_tpu.train.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(checkpoint_dir)
+        latest = ckpt_mgr.latest_step()
+        if latest is not None:
+            state = ckpt_mgr.restore(
+                latest, template={"users": users, "items": items}
+            )
+            users, items = state["users"], state["items"]
+            start_iter = latest + 1
+            log.info("resumed ALS from iteration %d", start_iter)
+
     timer = PhaseTimer()
-    for it in range(config.num_iterations):
+    for it in range(start_iter, config.num_iterations):
         with timer.phase(f"iter{it}"):
             users = half(users, items, u_idx, u_conf, u_mask)
             items = half(items, users, i_idx, i_conf, i_mask)
             jax.block_until_ready(items)
         if callback is not None:
             callback(it, users[: inter.num_users], items[: inter.num_items])
+        if ckpt_mgr is not None and (
+            (it + 1) % checkpoint_every == 0
+            or it == config.num_iterations - 1
+        ):
+            ckpt_mgr.save(it, {"users": users, "items": items}, force=True)
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait()
+        ckpt_mgr.close()
     log.info("ALS done: %s", timer.report())
     return (
         np.asarray(users[: inter.num_users]),
@@ -340,9 +445,15 @@ def train_sgd(
     num_steps: int = 1000,
     n_neg: int = 4,
     mesh: Optional[jax.sharding.Mesh] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 200,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """SGD/Adam training loop. With a mesh, the batch is sharded over the
-    "data" axis and gradients are psum'd (data parallelism)."""
+    "data" axis and gradients are psum'd (data parallelism).  With
+    `checkpoint_dir`, params + optimizer state checkpoint every
+    `checkpoint_every` steps (Orbax) and training resumes from the latest
+    checkpoint (the numpy batch RNG is re-seeded to the resume step so the
+    resumed run replays the same sample sequence)."""
     rng = np.random.default_rng(config.seed)
     d = config.embedding_dim
     scale = 1.0 / np.sqrt(d)
@@ -404,19 +515,47 @@ def train_sgd(
             axis_name=None,
         )
         b = min(config.batch_size, n_obs)
+
+    ckpt_mgr = None
+    start_step = 0
+    if checkpoint_dir is not None:
+        from spotify_recommender_tpu.train.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(checkpoint_dir)
+        latest = ckpt_mgr.latest_step()
+        if latest is not None:
+            state = ckpt_mgr.restore(
+                latest, template={"params": params, "opt_state": opt_state}
+            )
+            params, opt_state = state["params"], state["opt_state"]
+            start_step = latest + 1
+            log.info("resumed SGD-MF from step %d", start_step)
+
     losses = []
     for step in range(num_steps):
         sel = rng.integers(0, n_obs, size=b)
+        neg = rng.integers(0, inter.num_items, size=(b, n_neg))
+        if step < start_step:
+            continue  # replay the RNG stream so resume == uninterrupted run
         batch = {
             "user": jnp.asarray(users_f[sel]),
             "item": jnp.asarray(items_f[sel]),
             "conf": jnp.asarray(conf_f[sel]),
-            "neg": jnp.asarray(
-                rng.integers(0, inter.num_items, size=(b, n_neg)), jnp.int32
-            ),
+            "neg": jnp.asarray(neg, jnp.int32),
         }
         params, opt_state, loss = step_fn(params, opt_state, batch)
         losses.append(float(loss))
+        if ckpt_mgr is not None and (
+            (step + 1) % checkpoint_every == 0 or step == num_steps - 1
+        ):
+            ckpt_mgr.save(
+                step, {"params": params, "opt_state": opt_state}, force=True
+            )
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait()
+        ckpt_mgr.close()
+    if not losses:
+        losses = [float("nan")]
     log.info("SGD done: loss %.4f -> %.4f", losses[0], losses[-1])
     return np.asarray(params["users"]), np.asarray(params["items"])
 
@@ -426,6 +565,80 @@ def train_sgd(
 # --------------------------------------------------------------------------
 
 
+def _pad_ragged(
+    rows: Dict[int, np.ndarray], keys, width: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Dict-of-arrays -> (idx (len(keys), W) int32, mask) padded-ragged."""
+    lens = [len(rows.get(u, ())) for u in keys]
+    w = max(1, width or (max(lens) if lens else 1))
+    idx = np.zeros((len(keys), w), np.int32)
+    mask = np.zeros((len(keys), w), bool)
+    for r, u in enumerate(keys):
+        v = rows.get(u)
+        if v is not None and len(v):
+            d = min(len(v), w)
+            idx[r, :d] = np.asarray(v[:d], np.int32)
+            mask[r, :d] = True
+    return idx, mask
+
+
+def evaluate_ranking_arrays(
+    user_factors: np.ndarray,
+    item_factors: np.ndarray,
+    eval_users: np.ndarray,      # (E,) user rows to evaluate
+    held_idx: np.ndarray,        # (E, H) held-out item ids (padded)
+    held_mask: np.ndarray,       # (E, H) bool
+    k: int = 10,
+    seen_idx: Optional[np.ndarray] = None,   # (E, S) train positives
+    seen_mask: Optional[np.ndarray] = None,
+    user_chunk: int = 4096,
+    item_chunk: int = 131072,
+) -> Dict[str, float]:
+    """recall@k / NDCG@k with array-native (TPU-scale) plumbing.
+
+    Scoring runs through the retrieval stack's chunked MIPS top-k
+    (ops/similarity.mips_topk_chunked): O(user_chunk x item_chunk) peak
+    memory, train positives masked **on device** per chunk -- no
+    (U_eval, N) score matrix, no per-user Python loop.
+    """
+    from spotify_recommender_tpu.ops.similarity import mips_topk_chunked
+
+    items = jnp.asarray(item_factors, jnp.float32)
+    e = len(eval_users)
+    discounts = 1.0 / np.log2(np.arange(2, k + 2))
+    cum_disc = np.concatenate([[0.0], np.cumsum(discounts)])
+    recall_sum = ndcg_sum = 0.0
+    n_eval = 0
+    for s in range(0, e, user_chunk):
+        sl = slice(s, min(s + user_chunk, e))
+        u_emb = jnp.asarray(user_factors[eval_users[sl]], jnp.float32)
+        si = jnp.asarray(seen_idx[sl]) if seen_idx is not None else None
+        sm = jnp.asarray(seen_mask[sl]) if seen_mask is not None else None
+        _, top = mips_topk_chunked(
+            u_emb, items, si, sm, k=k, chunk=item_chunk
+        )
+        top = np.asarray(top)                                  # (C, k)
+        hm = held_mask[sl]
+        hi = np.where(hm, held_idx[sl], -1)                    # (C, H)
+        hits = (top[:, :, None] == hi[:, None, :]).any(-1)     # (C, k)
+        counts = hm.sum(1)                                     # (C,)
+        valid = counts > 0
+        denom = np.minimum(counts, k).clip(min=1)
+        recall_sum += float((hits.sum(1) / denom)[valid].sum())
+        ideal = cum_disc[np.minimum(counts, k)]
+        ndcg = (hits * discounts[None, :]).sum(1) / np.where(
+            ideal > 0, ideal, 1.0
+        )
+        ndcg_sum += float(ndcg[valid].sum())
+        n_eval += int(valid.sum())
+    return {
+        "recall@k": recall_sum / max(n_eval, 1),
+        "ndcg@k": ndcg_sum / max(n_eval, 1),
+        "k": k,
+        "num_eval_users": n_eval,
+    }
+
+
 def evaluate_ranking(
     user_factors: np.ndarray,
     item_factors: np.ndarray,
@@ -433,81 +646,82 @@ def evaluate_ranking(
     k: int = 10,
     train_mask: Optional[Dict[int, np.ndarray]] = None,
 ) -> Dict[str, float]:
-    """recall@k and NDCG@k against held-out positives.
+    """recall@k and NDCG@k against held-out positives (dict API).
 
-    Scoring = dot-product MIPS via the same exact top-k stack used for
-    content retrieval (ops/similarity.py with unit norms disabled).
+    Thin adapter over `evaluate_ranking_arrays` -- converts the per-user
+    dicts to padded-ragged arrays and runs the chunked device path.
     """
-    from spotify_recommender_tpu.ops.similarity import topk_scores
-
-    users = sorted(heldout.keys())
-    u_emb = jnp.asarray(user_factors[users])
-    scores = jnp.dot(
-        u_emb, jnp.asarray(item_factors).T,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    users = np.asarray(sorted(heldout.keys()), np.int64)
+    held_idx, held_mask = _pad_ragged(heldout, users)
+    seen_idx = seen_mask = None
     if train_mask is not None:
-        # mask training positives to -inf so they can't occupy the top-k
-        scores = np.array(scores)  # copy: np.asarray of a jax array is read-only
-        for row, u in enumerate(users):
-            seen = train_mask.get(u)
-            if seen is not None and len(seen):
-                scores[row, seen] = -np.inf
-        scores = jnp.asarray(scores)
-    _, top = topk_scores(scores, k)
-    top = np.asarray(top)
+        seen_idx, seen_mask = _pad_ragged(train_mask, users)
+    return evaluate_ranking_arrays(
+        user_factors, item_factors, users, held_idx, held_mask,
+        k=k, seen_idx=seen_idx, seen_mask=seen_mask,
+    )
 
-    recalls, ndcgs = [], []
-    discounts = 1.0 / np.log2(np.arange(2, k + 2))
-    for row, u in enumerate(users):
-        pos = set(int(x) for x in heldout[u])
-        if not pos:
-            continue
-        hits = np.asarray([int(t) in pos for t in top[row]])
-        recalls.append(hits.sum() / min(len(pos), k))
-        ideal = discounts[: min(len(pos), k)].sum()
-        ndcgs.append((hits * discounts).sum() / ideal)
-    return {
-        "recall@k": float(np.mean(recalls)),
-        "ndcg@k": float(np.mean(ndcgs)),
-        "k": k,
-        "num_eval_users": len(recalls),
-    }
+
+def split_leave_k_out_arrays(
+    inter: Interactions, k: int = 2, seed: int = 0
+) -> Tuple[Interactions, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-user split (no Python loop over users).
+
+    Users with more than k interactions hold out exactly k uniformly-random
+    ones for evaluation; others keep everything in train.  Returns
+    (train, held_idx (U, k), held_mask, seen_idx (U, md), seen_mask) in the
+    padded-ragged form `evaluate_ranking_arrays` consumes.
+    """
+    rng = np.random.default_rng(seed)
+    u, md = inter.mask.shape
+    degrees = inter.mask.sum(1)
+    # random priority per valid slot; argsort rows -> random permutation of
+    # each user's valid positions first (invalid positions sink to the end)
+    r = rng.random((u, md))
+    r[~inter.mask] = -1.0
+    order = np.argsort(-r, axis=1, kind="stable")          # (U, md)
+    rows = np.arange(u)[:, None]
+    hold = np.zeros((u, md), bool)
+    kk = min(k, md)
+    hold[rows[:, :kk] * 0 + rows, order[:, :kk]] = True
+    hold &= inter.mask
+    hold[degrees <= k] = False                              # keep-all rule
+    train_mask = inter.mask & ~hold
+
+    tu, tj = np.nonzero(train_mask)
+    train = Interactions.from_coo(
+        tu.astype(np.int64),
+        inter.item_idx[tu, tj].astype(np.int64),
+        inter.confidence[tu, tj],
+        inter.num_users,
+        inter.num_items,
+    )
+    # held-out items packed left into (U, k)
+    held_idx = np.zeros((u, max(1, kk)), np.int32)
+    held_mask = np.zeros((u, max(1, kk)), bool)
+    hu, hj = np.nonzero(hold)
+    if len(hu):
+        starts = np.searchsorted(hu, np.arange(u))
+        pos = np.arange(len(hu)) - starts[hu]
+        held_idx[hu, pos] = inter.item_idx[hu, hj]
+        held_mask[hu, pos] = True
+    return train, held_idx, held_mask, train.item_idx, train.mask
 
 
 def split_leave_k_out(
     inter: Interactions, k: int = 2, seed: int = 0
 ) -> Tuple[Interactions, Dict[int, np.ndarray], Dict[int, np.ndarray]]:
-    """Per-user split: hold out up to k interactions for evaluation."""
-    rng = np.random.default_rng(seed)
-    users, items, counts = [], [], []
+    """Dict-API adapter over `split_leave_k_out_arrays` (back-compat)."""
+    train, held_idx, held_mask, seen_idx, seen_mask = (
+        split_leave_k_out_arrays(inter, k=k, seed=seed)
+    )
     heldout: Dict[int, np.ndarray] = {}
     train_items: Dict[int, np.ndarray] = {}
-    for u in range(inter.num_users):
-        valid = inter.mask[u]
-        its = inter.item_idx[u][valid]
-        cfs = inter.confidence[u][valid]
-        if len(its) <= k:
-            train_sel = np.arange(len(its))
-            held = np.empty(0, np.int64)
-        else:
-            perm = rng.permutation(len(its))
-            held = its[perm[:k]].astype(np.int64)
-            train_sel = perm[k:]
-        if len(held):
-            heldout[u] = held
-        users.append(np.full(len(train_sel), u, np.int64))
-        items.append(its[train_sel])
-        counts.append(cfs[train_sel])
-        train_items[u] = its[train_sel]
-    train = Interactions.from_coo(
-        np.concatenate(users),
-        np.concatenate(items),
-        np.concatenate(counts),
-        inter.num_users,
-        inter.num_items,
-    )
+    for uu in range(inter.num_users):
+        hm = held_mask[uu]
+        if hm.any():
+            heldout[uu] = held_idx[uu][hm].astype(np.int64)
+        train_items[uu] = seen_idx[uu][seen_mask[uu]].astype(np.int64)
     return train, heldout, train_items
 
 
@@ -569,27 +783,49 @@ def load_interactions(path: str) -> Interactions:
     data = np.genfromtxt(
         path, delimiter=",", names=True, dtype=None, encoding="utf-8"
     )
-    cols = data.dtype.names
+    cols = set(data.dtype.names or ())
+    required = ("user_id", "item_id", "count")
+    missing = [c for c in required if c not in cols]
+    if missing:
+        # columns are addressed BY NAME (a reordered header must not
+        # silently swap users/items), so all three must be present
+        raise ValueError(
+            f"interactions CSV {path!r} is missing column(s) {missing}; "
+            f"expected header with {required}, found {sorted(cols)}"
+        )
     return Interactions.from_coo(
-        data[cols[0]].astype(np.int64),
-        data[cols[1]].astype(np.int64),
-        data[cols[2]].astype(np.float32),
+        data["user_id"].astype(np.int64),
+        data["item_id"].astype(np.int64),
+        data["count"].astype(np.float32),
     )
 
 
 def train_from_cli(
-    interactions_path: str, config: MFConfig, output: str, solver: str = "als"
+    interactions_path: str,
+    config: MFConfig,
+    output: str,
+    solver: str = "als",
+    mesh: Optional[jax.sharding.Mesh] = None,
+    shard_tables: bool = False,
+    checkpoint_dir: Optional[str] = None,
 ) -> int:
     inter = load_interactions(interactions_path)
     train, heldout, seen = split_leave_k_out(inter, k=2, seed=config.seed)
     log.info(
-        "MF train: %d users x %d items, solver=%s dim=%d",
+        "MF train: %d users x %d items, solver=%s dim=%d mesh=%s",
         inter.num_users, inter.num_items, solver, config.embedding_dim,
+        dict(mesh.shape) if mesh is not None else None,
     )
     if solver == "als":
-        users, items = train_als(train, config)
+        users, items = train_als(
+            train, config, mesh=mesh, shard_tables=shard_tables,
+            checkpoint_dir=checkpoint_dir,
+        )
     else:
-        users, items = train_sgd(train, config, num_steps=2000)
+        users, items = train_sgd(
+            train, config, num_steps=2000, mesh=mesh,
+            checkpoint_dir=checkpoint_dir,
+        )
     metrics = evaluate_ranking(users, items, heldout, k=10, train_mask=seen)
     print(
         f"recall@10={metrics['recall@k']:.4f} ndcg@10={metrics['ndcg@k']:.4f} "

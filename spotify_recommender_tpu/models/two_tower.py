@@ -24,7 +24,6 @@ item_feats) pair stream plugs in.
 from __future__ import annotations
 
 import dataclasses
-import pickle
 from functools import partial
 from typing import Callable, Dict, Optional, Tuple
 
@@ -314,46 +313,69 @@ def embed_user_profile(
 def save_model(
     path: str, params: Dict, config: TwoTowerConfig, feat_dim: Optional[int] = None
 ) -> None:
+    """Save as an npz container: flax-msgpack param bytes + JSON config.
+
+    No pickle anywhere — loading an untrusted model file must never
+    execute code (np.load runs with allow_pickle=False), unlike a raw
+    pickle artifact.  Written to the exact `path` (file-object form stops
+    numpy appending '.npz')."""
+    import json
+
     from flax import serialization
 
     if feat_dim is None:
         # recover the input width from the first Dense kernel
         first = params["params"]["query_tower"]["Dense_0"]["kernel"]
         feat_dim = int(first.shape[0])
+    blob = serialization.to_bytes(params)
     with open(path, "wb") as f:
-        pickle.dump(
-            {
-                "params": serialization.to_bytes(params),
-                "config": dataclasses.asdict(config),
-                "feat_dim": feat_dim,
-            },
+        np.savez_compressed(
             f,
+            format_version=np.int32(2),
+            params_msgpack=np.frombuffer(blob, np.uint8),
+            config_json=np.str_(json.dumps(dataclasses.asdict(config))),
+            feat_dim=np.int32(feat_dim),
         )
     log.info("two-tower model saved: %s", path)
 
 
 def load_model(path: str) -> Tuple[Dict, TwoTowerConfig]:
+    import json
+
     from flax import serialization
 
-    with open(path, "rb") as f:
-        blob = pickle.load(f)
-    config = TwoTowerConfig(**blob["config"])
+    with np.load(path, allow_pickle=False) as z:
+        config_raw = json.loads(str(z["config_json"][()]))
+        feat_dim = int(z["feat_dim"])
+        param_bytes = z["params_msgpack"].tobytes()
+    cfg = dict(config_raw)
+    if "hidden_dims" in cfg:
+        cfg["hidden_dims"] = tuple(cfg["hidden_dims"])
+    config = TwoTowerConfig(**cfg)
     model = TwoTower(config)
-    feat_dim = int(blob.get("feat_dim", 12))
     template = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, feat_dim)),
         jnp.zeros((1, feat_dim)),
     )
-    params = serialization.from_bytes(template, blob["params"])
+    params = serialization.from_bytes(template, param_bytes)
     return params, config
 
 
-def train_from_cli(catalog_path: str, config: TwoTowerConfig, output: str) -> int:
+def train_from_cli(
+    catalog_path: str,
+    config: TwoTowerConfig,
+    output: str,
+    mesh: Optional[Mesh] = None,
+    checkpoint_dir: Optional[str] = None,
+) -> int:
     from spotify_recommender_tpu.data.catalog import Catalog
 
     cat = Catalog.load(catalog_path)
-    result = train(cat.features, cat.genre_ids, config)
+    result = train(
+        cat.features, cat.genre_ids, config,
+        mesh=mesh, checkpoint_dir=checkpoint_dir,
+    )
     save_model(output, result.params, config)
     print(f"two-tower trained: final loss {result.losses[-1]:.4f}")
     return 0

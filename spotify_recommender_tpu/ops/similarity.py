@@ -169,6 +169,102 @@ def exact_topk_chunked(
 
 
 @partial(jax.jit, static_argnames=("k", "eps"))
+def exact_topk_iterative(
+    queries: jnp.ndarray,
+    features: jnp.ndarray,
+    norms: Optional[jnp.ndarray] = None,
+    exclude_rows: Optional[jnp.ndarray] = None,
+    k: int = 10,
+    eps: float = COSINE_EPS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Oracle-exact top-k via k masked argmax passes.
+
+    Bit-identical to `exact_topk` by construction — same
+    `cosine_scores_batched` values, and first-occurrence argmax reproduces
+    lax.top_k's lowest-index tie rule — but WITHOUT lax.top_k, whose cost
+    on TPU grows with the full catalog width (~100 ms at N=1M) regardless
+    of batch size.  k sequential (max + first-argmax + mask) passes over
+    the (B, N) score matrix are ~50x cheaper in the small-batch regime
+    this serves: the certified tier's per-query oracle fallback.
+    """
+    scores = cosine_scores_batched(queries, features, norms, eps)
+    if exclude_rows is not None:
+        scores = _mask_self(scores, exclude_rows)
+    b, n = scores.shape
+    cols = jnp.arange(n, dtype=jnp.int32)[None, :]
+    out_s, out_i = [], []
+    for _ in range(k):
+        m = jnp.max(scores, axis=1)                         # (B,)
+        am = jnp.argmax(scores, axis=1).astype(jnp.int32)   # first max
+        out_s.append(m)
+        out_i.append(am)
+        scores = jnp.where(cols == am[:, None], NEG_INF, scores)
+    return jnp.stack(out_s, axis=1), jnp.stack(out_i, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def mips_topk_chunked(
+    queries: jnp.ndarray,            # (B, D) fp32 query embeddings
+    items: jnp.ndarray,              # (N, D) fp32 item embeddings
+    seen_idx: Optional[jnp.ndarray] = None,   # (B, S) int32 rows to exclude
+    seen_mask: Optional[jnp.ndarray] = None,  # (B, S) bool valid-entry mask
+    k: int = 10,
+    chunk: int = 131072,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact maximum-inner-product top-k as a `lax.scan` over item chunks.
+
+    The MF/two-tower serving primitive (BASELINE config 3/5): raw dot
+    scores (no cosine epilogue), optional per-query *set* exclusion
+    (padded-ragged `seen_idx`/`seen_mask` — e.g. each user's training
+    positives), O(B x chunk) peak memory.  Ties break toward the lower
+    item index (chunks ascend; `merge_topk` favors the earlier list).
+    """
+    queries = jnp.asarray(queries, jnp.float32)
+    items = jnp.asarray(items, jnp.float32)
+    n, b = items.shape[0], queries.shape[0]
+    chunk = min(chunk, max(k, n))
+    nchunks = -(-n // chunk)
+    npad = nchunks * chunk
+    items_c = jnp.pad(items, ((0, npad - n), (0, 0))).reshape(
+        nchunks, chunk, -1
+    )
+    offsets = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+
+    def body(carry, xs):
+        best_s, best_i = carry
+        ich, off = xs
+        scores = jnp.dot(
+            queries, ich.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                   # (B, chunk)
+        gcols = off + jnp.arange(chunk, dtype=jnp.int32)
+        scores = jnp.where(gcols[None, :] >= n, NEG_INF, scores)
+        if seen_idx is not None:
+            local = seen_idx.astype(jnp.int32) - off        # (B, S)
+            in_chunk = (local >= 0) & (local < chunk)
+            if seen_mask is not None:
+                in_chunk = in_chunk & seen_mask
+            # scatter-min: -inf where the seen entry lands in this chunk,
+            # +inf (no-op) elsewhere; padded entries collide harmlessly at 0
+            upd = jnp.where(in_chunk, NEG_INF, jnp.float32(jnp.inf))
+            scores = scores.at[rows, jnp.clip(local, 0, chunk - 1)].min(upd)
+        ch_s, ch_pos = jax.lax.top_k(scores, k)
+        best_s, best_i = merge_topk(
+            best_s, best_i, ch_s, off + ch_pos.astype(jnp.int32), k
+        )
+        return (best_s, best_i), None
+
+    init = (
+        jnp.full((b, k), NEG_INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    (best_s, best_i), _ = jax.lax.scan(body, init, (items_c, offsets))
+    return best_s, best_i
+
+
+@partial(jax.jit, static_argnames=("k", "eps"))
 def exact_topk(
     queries: jnp.ndarray,
     features: jnp.ndarray,

@@ -34,20 +34,53 @@ log = get_logger(__name__)
 
 def local_lookup(
     table_shard: jnp.ndarray,  # (rows_per_shard, D) this shard's rows
-    ids: jnp.ndarray,          # (B,) global row ids, replicated
+    ids: jnp.ndarray,          # (...,) global row ids, replicated
     axis_name: str,
 ) -> jnp.ndarray:
     """shard_map body: masked local gather + psum assembly (differentiable;
-    the psum's transpose routes gradients back to the owning shard)."""
+    the psum's transpose routes gradients back to the owning shard).
+
+    `ids` may have any leading shape (batches, padded-ragged neighbor
+    lists, ...); the result is ids.shape + (D,).  Out-of-range ids
+    (including padded-tail rows) contribute zeros — callers that need
+    strict validation use ShardedEmbeddingTable.lookup.
+    """
     rows = table_shard.shape[0]
     shard = jax.lax.axis_index(axis_name)
     offset = shard * rows
     local_ids = ids.astype(jnp.int32) - offset
     mine = (local_ids >= 0) & (local_ids < rows)
     safe_ids = jnp.clip(local_ids, 0, rows - 1)
-    gathered = table_shard[safe_ids]                       # (B, D)
-    contrib = jnp.where(mine[:, None], gathered, 0.0)
+    gathered = table_shard[safe_ids]                       # (..., D)
+    contrib = jnp.where(mine[..., None], gathered, 0.0)
     return jax.lax.psum(contrib, axis_name)
+
+
+def sharded_ids_lookup(
+    table_shard: jnp.ndarray,  # (rows_per_shard, D) this shard's rows
+    ids_shard: jnp.ndarray,    # (n_local, ...) this shard's slice of ids
+    axis_name: str,
+) -> jnp.ndarray:
+    """shard_map body for lookups whose ids are row-sharded over the SAME
+    axis as the table (e.g. sharded-table ALS: each device solves its user
+    shard and needs item rows owned by every shard).
+
+    Exchange = all_gather(ids) [cheap: int32] → masked local gather →
+    **psum_scatter** back to the owner — the reduce-scatter form of the
+    embedding all-to-all, riding ICI with XLA's fused collective.  Returns
+    embeddings for the local id shard: ids_shard.shape + (D,).
+    """
+    rows = table_shard.shape[0]
+    shard = jax.lax.axis_index(axis_name)
+    offset = shard * rows
+    ids_all = jax.lax.all_gather(ids_shard, axis_name, tiled=True)
+    local = ids_all.astype(jnp.int32) - offset
+    mine = (local >= 0) & (local < rows)
+    gathered = table_shard[jnp.clip(local, 0, rows - 1)]
+    contrib = jnp.where(mine[..., None], gathered, 0.0)
+    return jax.lax.psum_scatter(
+        contrib, axis_name, scatter_dimension=0, tiled=True
+    )
 
 
 class ShardedEmbeddingTable:
@@ -88,5 +121,21 @@ class ShardedEmbeddingTable:
             self.vocab, self.dim, n_shards,
         )
 
-    def lookup(self, ids: jnp.ndarray) -> jnp.ndarray:
-        return self._lookup(self.table, jnp.asarray(ids, jnp.int32))
+    def lookup(self, ids: jnp.ndarray, validate: bool = True) -> jnp.ndarray:
+        """Gather rows for global `ids`.
+
+        With `validate` (default), ids are range-checked host-side against
+        the true vocab — out-of-range ids (including the zero-padded tail
+        rows) would otherwise silently return zero vectors and mask caller
+        indexing bugs.  Pass validate=False inside traced code.
+        """
+        ids = jnp.asarray(ids, jnp.int32)
+        if validate and not isinstance(ids, jax.core.Tracer):
+            bad_lo = int(jnp.min(ids)) < 0
+            bad_hi = int(jnp.max(ids)) >= self.vocab
+            if bad_lo or bad_hi:
+                raise IndexError(
+                    f"embedding ids out of range [0, {self.vocab}): "
+                    f"min={int(jnp.min(ids))} max={int(jnp.max(ids))}"
+                )
+        return self._lookup(self.table, ids)

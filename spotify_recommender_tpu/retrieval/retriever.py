@@ -88,7 +88,21 @@ class Retriever:
 
         self._backend = self._select_backend()
         self._fused = None
-        if self._backend == "pallas":
+        if self._backend == "certified":
+            try:
+                from spotify_recommender_tpu.ops.pallas.fused_topk import (
+                    CertifiedRetriever,
+                )
+
+                self._fused = CertifiedRetriever(
+                    catalog.features, catalog.norms, self.config
+                )
+            except Exception as e:
+                log.warning(
+                    "certified init failed (%s); using XLA backend", e
+                )
+                self._backend = "xla"
+        elif self._backend == "pallas":
             try:
                 from spotify_recommender_tpu.ops.pallas.fused_topk import (
                     FusedRetriever,
@@ -113,6 +127,11 @@ class Retriever:
         if self._sharded is not None:
             return "sharded"
         if self.config.use_pallas and jax.default_backend() == "tpu":
+            if self.config.exact_scores and self.config.dtype == "float32":
+                # default exact path: certified bf16x2 prefilter + exact
+                # fp32 rerank + per-query exactness certificate (see
+                # ops/pallas/fused_topk.CertifiedRetriever)
+                return "certified"
             return "pallas"
         return "xla"
 
@@ -133,11 +152,14 @@ class Retriever:
             exclude_rows = jnp.asarray(exclude_rows, jnp.int32)
         if self._backend == "sharded":
             return self._sharded.retrieve(queries, k, exclude_rows)
-        if self._backend == "pallas":
+        if self._backend in ("certified", "pallas"):
             try:
                 return self._fused(queries, k, exclude_rows)
             except Exception as e:  # pragma: no cover - fallback safety net
-                log.warning("pallas backend failed (%s); falling back to XLA", e)
+                log.warning(
+                    "%s backend failed (%s); falling back to XLA",
+                    self._backend, e,
+                )
                 self._backend = "xla"
         if len(self.catalog) > 262_144:
             # chunked scan: avoids materializing the (B, N) score matrix

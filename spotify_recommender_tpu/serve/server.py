@@ -5,15 +5,21 @@ catalog and re-initializing the device every time — reference
 main.cpp:46-63).  This service keeps the Retriever device-resident and
 serves queries over HTTP with zero per-request setup:
 
-  GET /healthz                          → {"status": "ok", ...}
-  GET /recommend?song=<name>&n=10       → ranked results by name
-  GET /recommend?id=<track_id>&n=10     → ranked results by track id
-  GET /song/<row>                       → one catalog entry
+  GET  /healthz                          → {"status": "ok", ...}
+  GET  /recommend?song=<name>&n=10       → ranked results by name
+  GET  /recommend?id=<track_id>&n=10     → ranked results by track id
+  GET  /song/<row>                       → one catalog entry
   POST /retrieve {"queries": [[...]], "k": 10}
-                                        → batched raw-vector retrieval
+                                         → batched raw-vector retrieval
+  POST /reload {"catalog": "path.npz"}   → hot-swap the catalog
 
-stdlib http.server (threaded) keeps the framework dependency-free; JAX
-dispatch is serialized with a lock (single device queue anyway).
+Concurrency model: JAX dispatch is thread-safe, so requests run without a
+global lock.  Single-query /recommend traffic additionally flows through a
+**micro-batch coalescer** — concurrent requests arriving within a short
+window are stacked into ONE kernel batch (the kernel is batch-optimized;
+B=1 dispatches waste it), then results are sliced back per request.
+
+stdlib http.server (threaded) keeps the framework dependency-free.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
@@ -32,21 +39,128 @@ from spotify_recommender_tpu.core.logging import get_logger
 
 log = get_logger(__name__)
 
+# POST bodies larger than this are rejected with 413 (a (B, F) query
+# payload at the default cap is ~64 MB of JSON — far beyond any sane batch).
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
+
+class BatchCoalescer:
+    """Stacks concurrent single-query retrievals into one kernel batch.
+
+    Callers block in `submit` until the dispatcher thread has run their
+    batch; the dispatcher waits `window_ms` after the first enqueue so
+    concurrent requests coalesce, then dispatches up to `max_batch` at
+    once.  Per-request k values are served from one top-max(k) retrieval.
+    """
+
+    def __init__(
+        self,
+        retrieve_fn,             # (queries (B,F), k, exclude (B,)) -> (s, r)
+        max_batch: int = 256,
+        window_ms: float = 2.0,
+    ) -> None:
+        self._retrieve = retrieve_fn
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1e3
+        self._cv = threading.Condition()
+        self._pending: list = []
+        self._stop = False
+        self.stats = {"batches": 0, "batched_requests": 0, "max_batch_size": 0}
+        self._thread = threading.Thread(
+            target=self._run, name="batch-coalescer", daemon=True
+        )
+        self._thread.start()
+
+    def submit(self, query: np.ndarray, exclude_row: int, k: int):
+        """Enqueue one query; blocks until its batch has run.
+        Returns (scores (k,), rows (k,)) or raises the batch's error."""
+        slot: dict = {}
+        ev = threading.Event()
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("coalescer closed")
+            self._pending.append((query, exclude_row, k, slot, ev))
+            self._cv.notify()
+        ev.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["scores"], slot["rows"]
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._pending and not self._stop:
+                    self._cv.wait()
+                if self._stop and not self._pending:
+                    return
+            # coalescing window: let concurrent requests pile up
+            if self.window_s > 0:
+                time.sleep(self.window_s)
+            with self._cv:
+                batch = self._pending[: self.max_batch]
+                del self._pending[: self.max_batch]
+            if not batch:
+                continue
+            queries = np.stack([b[0] for b in batch]).astype(np.float32)
+            excl = np.asarray([b[1] for b in batch], np.int32)
+            kmax = max(b[2] for b in batch)
+            try:
+                scores, rows = self._retrieve(queries, kmax, excl)
+                scores = np.asarray(scores)
+                rows = np.asarray(rows)
+                for i, (_, _, k, slot, ev) in enumerate(batch):
+                    slot["scores"] = scores[i, :k]
+                    slot["rows"] = rows[i, :k]
+                    ev.set()
+            except Exception as e:  # deliver the failure to every waiter
+                for _, _, _, slot, ev in batch:
+                    slot["error"] = e
+                    ev.set()
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += len(batch)
+            self.stats["max_batch_size"] = max(
+                self.stats["max_batch_size"], len(batch)
+            )
+
+    def close(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
 
 class RecommenderService:
-    """Catalog + retriever behind a lock; the request-handling core,
-    separated from HTTP for testability."""
+    """Catalog + retriever + coalescer; the request-handling core,
+    separated from HTTP for testability.
 
-    def __init__(self, catalog, config: Optional[RetrievalConfig] = None):
+    JAX dispatches are NOT serialized by a lock — the runtime is
+    thread-safe and the device queue orders execution; the lock guards
+    only stats and catalog swaps."""
+
+    def __init__(
+        self,
+        catalog,
+        config: Optional[RetrievalConfig] = None,
+        coalesce_window_ms: float = 2.0,
+        max_batch: int = 256,
+    ):
         from spotify_recommender_tpu.retrieval.retriever import Retriever
 
+        self._config = config
         self.retriever = Retriever(catalog, config)
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "errors": 0, "total_latency_s": 0.0}
+        self.coalescer = BatchCoalescer(
+            self._retrieve_batch,
+            max_batch=max_batch,
+            window_ms=coalesce_window_ms,
+        )
+
+    def _retrieve_batch(self, queries, k, exclude_rows):
+        # the retriever reference is re-read per call → hot reload swaps in
+        return self.retriever.retrieve(queries, k=k, exclude_rows=exclude_rows)
 
     def _record(self, t0: float, ok: bool) -> None:
-        import time
-
         with self._lock:
             self._stats["requests"] += 1
             if not ok:
@@ -54,7 +168,8 @@ class RecommenderService:
             self._stats["total_latency_s"] += time.perf_counter() - t0
 
     def metrics(self) -> dict:
-        s = dict(self._stats)
+        with self._lock:
+            s = dict(self._stats)
         n = max(1, s["requests"])
         return {
             "requests": s["requests"],
@@ -62,26 +177,34 @@ class RecommenderService:
             "mean_latency_ms": round(1e3 * s["total_latency_s"] / n, 3),
             "num_items": len(self.retriever.catalog),
             "backend": self.retriever._backend,
+            "coalescer": dict(self.coalescer.stats),
         }
 
     def recommend(self, query: str, by_id: bool, k: int) -> dict:
-        import time
-
         t0 = time.perf_counter()
+        retriever = self.retriever
         try:
-            with self._lock:
-                if by_id:
-                    row = self.retriever.index.find_by_track_id(query)
-                    recs = self.retriever.recommend_by_id(query, k)
-                else:
-                    row = self.retriever.index.find_by_name(query)
-                    recs = self.retriever.recommend_by_name(query, k)
+            if by_id:
+                row = retriever.index.find_by_track_id(query)
+                if row is None:
+                    raise KeyError(f"Song with track_id '{query}' not found")
+            else:
+                row = retriever.index.find_by_name(query)
+                if row is None:
+                    raise KeyError(f"Song with name '{query}' not found")
+            kk = min(k, len(retriever.catalog) - 1)
+            scores, rows = self.coalescer.submit(
+                np.asarray(retriever.catalog.features[row], np.float32),
+                row,
+                kk,
+            )
+            recs = retriever._materialize(rows, scores)
         except (KeyError, IndexError) as e:
             self._record(t0, ok=False)
             return {"error": e.args[0] if e.args else str(e), "status": 404}
         self._record(t0, ok=True)
         return {
-            "query": dataclasses.asdict(self.retriever.lookup(row)),
+            "query": dataclasses.asdict(retriever.lookup(row)),
             "results": [dataclasses.asdict(r) for r in recs],
             "status": 200,
         }
@@ -92,18 +215,43 @@ class RecommenderService:
         return {"song": dataclasses.asdict(self.retriever.lookup(row)), "status": 200}
 
     def retrieve(self, queries, k: int) -> dict:
+        t0 = time.perf_counter()
+        retriever = self.retriever
         q = np.asarray(queries, np.float32)
-        if q.ndim != 2 or q.shape[1] != self.retriever.catalog.features.shape[1]:
+        if q.ndim != 2 or q.shape[1] != retriever.catalog.features.shape[1]:
+            self._record(t0, ok=False)
             return {
-                "error": f"queries must be (B, {self.retriever.catalog.features.shape[1]})",
+                "error": f"queries must be (B, {retriever.catalog.features.shape[1]})",
                 "status": 400,
             }
-        with self._lock:
-            scores, rows = self.retriever.retrieve(q, k=k)
+        # already-batched traffic dispatches directly (no lock: JAX is
+        # thread-safe; the device queue serializes execution)
+        scores, rows = retriever.retrieve(q, k=k)
+        self._record(t0, ok=True)
         return {
             "scores": np.asarray(scores).tolist(),
             "rows": np.asarray(rows).tolist(),
             "status": 200,
+        }
+
+    def reload(self, catalog_path: str) -> dict:
+        """Hot-swap the catalog: build the new retriever off to the side,
+        then atomically replace the reference (in-flight requests finish
+        on the old one)."""
+        from spotify_recommender_tpu.retrieval.retriever import Retriever
+
+        try:
+            cat = _load_catalog(catalog_path)
+            new_retriever = Retriever(cat, self._config)
+        except Exception as e:
+            return {"error": f"reload failed: {e}", "status": 400}
+        with self._lock:
+            self.retriever = new_retriever
+        log.info("catalog hot-reloaded: %s (%d items)", catalog_path, len(cat))
+        return {
+            "status": 200,
+            "reloaded": catalog_path,
+            "num_items": len(cat),
         }
 
     def health(self) -> dict:
@@ -112,6 +260,17 @@ class RecommenderService:
             "num_items": len(self.retriever.catalog),
             "backend": self.retriever._backend,
         }
+
+    def close(self) -> None:
+        self.coalescer.close()
+
+
+def _load_catalog(path: str):
+    from spotify_recommender_tpu.data.catalog import Catalog
+
+    if path.endswith(".bin"):
+        return Catalog.load_reference_binary(path)
+    return Catalog.load(path)
 
 
 def _make_handler(service: RecommenderService):
@@ -138,8 +297,14 @@ def _make_handler(service: RecommenderService):
                 elif url.path == "/metrics":
                     self._send(self.server_service.metrics())
                 elif url.path == "/recommend":
-                    k = int(qs.get("n", ["10"])[0])
-                    if "id" in qs:
+                    try:
+                        k = int(qs.get("n", ["10"])[0])
+                    except ValueError:
+                        self._send({"error": "n must be an integer", "status": 400})
+                        return
+                    if k <= 0:
+                        self._send({"error": "n must be positive", "status": 400})
+                    elif "id" in qs:
                         self._send(
                             self.server_service.recommend(qs["id"][0], True, k)
                         )
@@ -150,7 +315,14 @@ def _make_handler(service: RecommenderService):
                     else:
                         self._send({"error": "need ?song= or ?id=", "status": 400})
                 elif url.path.startswith("/song/"):
-                    self._send(self.server_service.song(int(url.path[6:])))
+                    try:
+                        row = int(url.path[6:])
+                    except ValueError:
+                        self._send(
+                            {"error": "song row must be an integer", "status": 400}
+                        )
+                        return
+                    self._send(self.server_service.song(row))
                 else:
                     self._send({"error": "not found", "status": 404})
             except Exception as e:  # pragma: no cover
@@ -160,6 +332,12 @@ def _make_handler(service: RecommenderService):
             url = urlparse(self.path)
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > MAX_BODY_BYTES:
+                    self._send(
+                        {"error": f"body exceeds {MAX_BODY_BYTES} bytes",
+                         "status": 413}
+                    )
+                    return
                 body = json.loads(self.rfile.read(n) or b"{}")
                 if url.path == "/retrieve":
                     self._send(
@@ -167,9 +345,17 @@ def _make_handler(service: RecommenderService):
                             body.get("queries", []), int(body.get("k", 10))
                         )
                     )
+                elif url.path == "/reload":
+                    path = body.get("catalog")
+                    if not path:
+                        self._send(
+                            {"error": "need {'catalog': path}", "status": 400}
+                        )
+                    else:
+                        self._send(self.server_service.reload(str(path)))
                 else:
                     self._send({"error": "not found", "status": 404})
-            except (ValueError, json.JSONDecodeError) as e:
+            except (ValueError, TypeError, json.JSONDecodeError) as e:
                 self._send({"error": f"bad request: {e}", "status": 400})
 
         def log_message(self, fmt, *args):  # route to our logger
@@ -181,8 +367,11 @@ def _make_handler(service: RecommenderService):
 def make_server(
     catalog, host: str = "127.0.0.1", port: int = 8000,
     config: Optional[RetrievalConfig] = None,
+    coalesce_window_ms: float = 2.0,
 ) -> ThreadingHTTPServer:
-    service = RecommenderService(catalog, config)
+    service = RecommenderService(
+        catalog, config, coalesce_window_ms=coalesce_window_ms
+    )
     handler = _make_handler(service)
     srv = ThreadingHTTPServer((host, port), handler)
     srv.server_service = service  # type: ignore[attr-defined]
@@ -191,13 +380,7 @@ def make_server(
 
 
 def serve(catalog_path: str, host: str = "127.0.0.1", port: int = 8000) -> int:
-    from spotify_recommender_tpu.data.catalog import Catalog
-
-    cat = (
-        Catalog.load_reference_binary(catalog_path)
-        if catalog_path.endswith(".bin")
-        else Catalog.load(catalog_path)
-    )
+    cat = _load_catalog(catalog_path)
     srv = make_server(cat, host, port)
     log.info("serving %d items on http://%s:%d", len(cat), host, port)
     try:
@@ -205,5 +388,6 @@ def serve(catalog_path: str, host: str = "127.0.0.1", port: int = 8000) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        srv.server_service.close()  # type: ignore[attr-defined]
         srv.server_close()
     return 0

@@ -1,17 +1,24 @@
 """Test config: force an 8-device virtual CPU mesh (the standard JAX
-substitute for multi-chip hardware — SURVEY.md §4) before jax imports."""
+substitute for multi-chip hardware — SURVEY.md §4) before jax imports.
+
+Set SRT_TPU_TESTS=1 to run against the real TPU instead (enables the
+compiled-Mosaic parity tests in test_tpu_compiled.py; everything else
+still passes, just slower to compile)."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+_USE_TPU = os.environ.get("SRT_TPU_TESTS") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-# Force CPU with 8 virtual devices: the shell presets JAX_PLATFORMS=axon (the
-# TPU tunnel) and its plugin re-registers itself over the env var, so the
-# config must be set programmatically before first device use.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not _USE_TPU:
+    # Force CPU with 8 virtual devices: the shell presets JAX_PLATFORMS=axon
+    # (the TPU tunnel) and its plugin re-registers itself over the env var,
+    # so the config must be set programmatically before first device use.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,168 @@
+"""CertifiedRetriever: exactness-by-certificate retrieval.
+
+The certificate's claim — "when it passes, the result equals the full
+exact retrieval; when it fails, the fallback path delivers exactness
+anyway" — is tested here on random data, unaligned catalog sizes,
+exclusions, and two adversarial constructions (near-ties inside the
+BF16X2_EPS bound, and >3 top-k items colliding in one scan bin).
+Kernels run in interpret mode (CPU backend, conftest).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spotify_recommender_tpu.core.config import RetrievalConfig
+from spotify_recommender_tpu.ops.pallas.fused_topk import (
+    BF16X2_EPS,
+    CertifiedRetriever,
+)
+from spotify_recommender_tpu.ops.similarity import exact_topk
+
+
+def oracle(queries, feats, norms, k, excl=None):
+    return exact_topk(
+        jnp.asarray(queries), jnp.asarray(feats), jnp.asarray(norms),
+        exclude_rows=None if excl is None else jnp.asarray(excl), k=k,
+    )
+
+
+def make_data(rng, n, f=12, b=16):
+    feats = rng.random((n, f), dtype=np.float32)
+    norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+    q = feats[rng.integers(0, n, b)] + 0.01 * rng.standard_normal(
+        (b, f)
+    ).astype(np.float32)
+    return feats, norms, q
+
+
+class TestCertifiedExactness:
+    @pytest.mark.parametrize("n", [1000, 8192, 20000 + 37])
+    def test_matches_oracle(self, rng, n):
+        feats, norms, q = make_data(rng, n)
+        cr = CertifiedRetriever(feats, norms, interpret=True)
+        s, i = cr(q, 10)
+        rs, ri = oracle(q, feats, norms, 10)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        # scores: 1-ulp tolerance (rerank einsum vs oracle dot accumulate
+        # in different orders; index order is certified regardless)
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(rs), rtol=0, atol=1e-6
+        )
+
+    def test_exclusions(self, rng):
+        feats, norms, _ = make_data(rng, 5000)
+        rows = rng.integers(0, 5000, 8).astype(np.int32)
+        q = feats[rows]
+        cr = CertifiedRetriever(feats, norms, interpret=True)
+        s, i = cr(q, 10, exclude_rows=rows)
+        rs, ri = oracle(q, feats, norms, 10, excl=rows)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        assert not np.any(np.asarray(i) == rows[:, None])
+
+    def test_k_larger_than_prefilter(self, rng):
+        feats, norms, q = make_data(rng, 3000, b=4)
+        cr = CertifiedRetriever(
+            feats, norms, RetrievalConfig(prefilter=8), interpret=True
+        )
+        s, i = cr(q, 50)  # k > prefilter: C clamps up to k
+        _, ri = oracle(q, feats, norms, 50)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+    def test_zero_norm_query_and_rows(self, rng):
+        feats, norms, _ = make_data(rng, 2000)
+        feats[7] = 0.0
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        q = np.zeros((2, 12), np.float32)
+        q[1] = feats[100]
+        cr = CertifiedRetriever(feats, norms, interpret=True)
+        s, i = cr(q, 5)
+        rs, ri = oracle(q, feats, norms, 5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(rs), rtol=0, atol=1e-6
+        )
+
+
+class TestAdversarial:
+    def test_near_ties_within_eps_stay_exact(self, rng):
+        """Catalog engineered so scores around the k-th boundary differ by
+        less than BF16X2_EPS: certificates MUST fail (they cannot prove
+        order), and the fallback must still deliver the oracle's answer."""
+        n, f = 4000, 12
+        base = rng.random(f).astype(np.float32) + 0.5
+        feats = np.tile(base, (n, 1))
+        # tiny per-row perturbations — exact scores tie to ~1e-7
+        feats += (1e-7 * rng.standard_normal((n, f))).astype(np.float32)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        q = base[None, :].astype(np.float32)
+        cr = CertifiedRetriever(feats, norms, interpret=True)
+        s, i = cr(q, 10)
+        rs, ri = oracle(q, feats, norms, 10)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(rs))
+        assert cr.fallbacks >= 1  # the certificate must not bluff here
+
+    def test_bin_collision_forces_fallback_stays_exact(self, rng):
+        """Place 6 engineered top hits in ONE scan bin (same lane, same
+        slice-parity): depth-3 tracking drops some, the v4 bound fails the
+        certificate, and the fallback restores exactness."""
+        n, f = 8192, 12
+        feats = 0.01 * rng.random((n, f)).astype(np.float32) + 0.01
+        target = rng.random(f).astype(np.float32) + 1.0
+        cr_probe = CertifiedRetriever(feats, interpret=True)
+        w = cr_probe.w
+        # columns c, c+w, c+2w, ... share a bin (same lane, same window)
+        hot = [13 + j * w for j in range(6)]
+        for rank, col in enumerate(hot):
+            feats[col] = target * (1.0 - 1e-4 * rank)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        q = target[None, :]
+        cr = CertifiedRetriever(feats, norms, interpret=True)
+        s, i = cr(q, 6)
+        rs, ri = oracle(q, feats, norms, 6)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(rs))
+        assert set(hot) == set(np.asarray(i)[0].tolist())
+        assert cr.fallbacks >= 1
+
+    def test_eps_bound_holds_empirically(self, rng):
+        """|approx - exact| must stay below BF16X2_EPS (with margin) —
+        the certificate's soundness rests on this bound."""
+        n, f, b = 20000, 12, 64
+        feats, norms, q = make_data(rng, n, f, b)
+        unit = feats / norms[:, None]
+        hi = unit.astype(jnp.bfloat16)
+        lo = (unit - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qu = q / qn
+        qh = qu.astype(jnp.bfloat16)
+        ql = (qu - np.asarray(qh, np.float32)).astype(jnp.bfloat16)
+        approx = (
+            np.asarray(qh, np.float32) @ np.asarray(hi, np.float32).T
+            + np.asarray(qh, np.float32) @ np.asarray(lo, np.float32).T
+            + np.asarray(ql, np.float32) @ np.asarray(hi, np.float32).T
+            + np.asarray(ql, np.float32) @ np.asarray(lo, np.float32).T
+        )
+        approx = np.clip(approx, -1, 1)
+        exact = np.clip(
+            (q @ feats.T) / (qn * norms[None, :]), -1, 1
+        )
+        assert np.max(np.abs(approx - exact)) < BF16X2_EPS
+
+
+class TestTieSemantics:
+    def test_duplicate_rows_lowest_index_wins(self, rng):
+        """Exact duplicates score identically; the reference heap keeps
+        the lowest catalog index (Recommender.cu:300-305)."""
+        n = 3000
+        feats = rng.random((n, 12), dtype=np.float32)
+        feats[500] = feats[100]
+        feats[2500] = feats[100]
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        q = feats[100][None, :]
+        cr = CertifiedRetriever(feats, norms, interpret=True)
+        _, i = cr(q, 3)
+        got = np.asarray(i)[0].tolist()
+        assert got[0] == 100 and 500 in got and 2500 in got
+        assert got.index(500) < got.index(2500)

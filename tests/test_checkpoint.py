@@ -52,3 +52,44 @@ class TestOneShot:
         save_checkpoint(p, state)
         out = restore_checkpoint(p, template=state)
         np.testing.assert_array_equal(out["params"]["b"], state["params"]["b"])
+
+
+class TestMFResume:
+    """ALS / SGD-MF checkpoint + resume: an interrupted-then-resumed run
+    must produce the same factors as an uninterrupted one."""
+
+    def test_als_resume_matches_uninterrupted(self, tmp_path):
+        from spotify_recommender_tpu.core.config import MFConfig
+        from spotify_recommender_tpu.models import mf
+
+        inter, _, _ = mf.synthetic_interactions(
+            num_users=120, num_items=60, latent_dim=4, density=0.06, seed=3
+        )
+        cfg6 = MFConfig(embedding_dim=8, num_iterations=6, reg=0.1, alpha=5.0)
+        u_ref, i_ref = mf.train_als(inter, cfg6)
+        # interrupted: 3 iterations, checkpointed
+        ck = str(tmp_path / "als")
+        cfg3 = MFConfig(embedding_dim=8, num_iterations=3, reg=0.1, alpha=5.0)
+        mf.train_als(inter, cfg3, checkpoint_dir=ck)
+        # resumed: picks up at iteration 3, finishes 6
+        u_res, i_res = mf.train_als(inter, cfg6, checkpoint_dir=ck)
+        np.testing.assert_allclose(u_res, u_ref, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(i_res, i_ref, rtol=1e-4, atol=1e-6)
+
+    def test_sgd_resume_matches_uninterrupted(self, tmp_path):
+        from spotify_recommender_tpu.core.config import MFConfig
+        from spotify_recommender_tpu.models import mf
+
+        inter, _, _ = mf.synthetic_interactions(
+            num_users=120, num_items=60, latent_dim=4, density=0.06, seed=4
+        )
+        cfg = MFConfig(embedding_dim=8, reg=0.01, alpha=2.0,
+                       learning_rate=0.05, batch_size=256, seed=0)
+        u_ref, i_ref = mf.train_sgd(inter, cfg, num_steps=40)
+        ck = str(tmp_path / "sgd")
+        mf.train_sgd(inter, cfg, num_steps=20, checkpoint_dir=ck,
+                     checkpoint_every=10)
+        u_res, i_res = mf.train_sgd(inter, cfg, num_steps=40,
+                                    checkpoint_dir=ck, checkpoint_every=10)
+        np.testing.assert_allclose(u_res, u_ref, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(i_res, i_ref, rtol=1e-4, atol=1e-6)

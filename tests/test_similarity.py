@@ -149,3 +149,81 @@ class TestChunkedTopK:
         c_s, c_i = exact_topk_chunked(q, jnp.asarray(feats), k=17, chunk=256)
         np.testing.assert_array_equal(np.asarray(c_i), np.asarray(g_i))
         assert np.asarray(c_i).max() < 1003
+
+
+class TestIterativeOracle:
+    """exact_topk_iterative must be bit-identical to exact_topk (it backs
+    the certified tier's fallback, whose whole point is oracle parity)."""
+
+    def test_matches_exact_topk(self, rng):
+        import jax.numpy as jnp
+
+        from spotify_recommender_tpu.ops.similarity import (
+            exact_topk,
+            exact_topk_iterative,
+        )
+
+        feats = rng.random((5000, 12), dtype=np.float32)
+        # exact duplicate rows: tie behavior must match lax.top_k
+        feats[400] = feats[100]
+        feats[4400] = feats[100]
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        q = feats[rng.integers(0, 5000, 16)]
+        excl = rng.integers(0, 5000, 16).astype(np.int32)
+        a_s, a_i = exact_topk(
+            jnp.asarray(q), jnp.asarray(feats), jnp.asarray(norms),
+            exclude_rows=jnp.asarray(excl), k=12,
+        )
+        b_s, b_i = exact_topk_iterative(
+            jnp.asarray(q), jnp.asarray(feats), jnp.asarray(norms),
+            exclude_rows=jnp.asarray(excl), k=12,
+        )
+        np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+        np.testing.assert_array_equal(np.asarray(a_s), np.asarray(b_s))
+
+
+class TestMIPSChunked:
+    """mips_topk_chunked: the MF/two-tower serving primitive."""
+
+    def test_matches_dense_mips(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from spotify_recommender_tpu.ops.similarity import mips_topk_chunked
+
+        items = rng.standard_normal((3000, 16)).astype(np.float32)
+        q = rng.standard_normal((8, 16)).astype(np.float32)
+        s, i = mips_topk_chunked(
+            jnp.asarray(q), jnp.asarray(items), k=7, chunk=512
+        )
+        dense = q @ items.T
+        ref = np.argsort(-dense, axis=1, kind="stable")[:, :7]
+        np.testing.assert_array_equal(np.asarray(i), ref)
+
+    def test_seen_set_exclusion(self, rng):
+        import jax.numpy as jnp
+
+        from spotify_recommender_tpu.ops.similarity import mips_topk_chunked
+
+        items = rng.standard_normal((1000, 8)).astype(np.float32)
+        q = items[:4]  # each query's own row scores highest
+        seen_idx = np.zeros((4, 3), np.int32)
+        seen_idx[:, 0] = np.arange(4)          # exclude the self row
+        seen_idx[:, 1] = 999                   # plus a shared row
+        seen_mask = np.ones((4, 3), bool)
+        seen_mask[:, 2] = False                # padding entry ignored
+        s, i = mips_topk_chunked(
+            jnp.asarray(q), jnp.asarray(items),
+            jnp.asarray(seen_idx), jnp.asarray(seen_mask),
+            k=5, chunk=256,
+        )
+        i = np.asarray(i)
+        for b in range(4):
+            assert b not in i[b]
+            assert 999 not in i[b]
+        # padded (masked-off) entry 0 must NOT be excluded for rows 1..3
+        dense = q @ items.T
+        dense[np.arange(4), np.arange(4)] = -np.inf
+        dense[:, 999] = -np.inf
+        ref = np.argsort(-dense, axis=1, kind="stable")[:, :5]
+        np.testing.assert_array_equal(i, ref)
