@@ -56,6 +56,7 @@ def run_benchmark(
     warmup: int = 2,
     iters: int = 10,
     seed: int = 0,
+    catalog_tile: int = 0,
 ) -> BenchResult:
     feats, norms, queries, q_rows = _make_inputs(
         num_items, num_queries, feature_dim, seed
@@ -103,10 +104,19 @@ def run_benchmark(
                     CertifiedRetriever,
                 )
 
+                from spotify_recommender_tpu.core.config import (
+                    RetrievalConfig,
+                )
+
+                cfg = (
+                    RetrievalConfig(catalog_tile=catalog_tile)
+                    if catalog_tile
+                    else RetrievalConfig()
+                )
                 # sync_check=False: overflow flags are drained AFTER the
                 # timed loop (verify_no_overflow) — per-call host checks
                 # would bill the tunnel's ~30 ms round trip to the kernel
-                fr = CertifiedRetriever(feats, norms, sync_check=False)
+                fr = CertifiedRetriever(feats, norms, cfg, sync_check=False)
                 chosen = "certified"
 
             def step(q):
@@ -207,6 +217,17 @@ def run_benchmark_suite() -> BenchResult:
         ]
     except Exception as e:  # pragma: no cover - bench resilience
         log.warning("10M bench failed: %s", e)
+    try:
+        rb1 = run_benchmark(
+            num_items=10_000_000, num_queries=1, feature_dim=12, k=10,
+            warmup=1, iters=8, catalog_tile=65536,
+        )
+        extras["exact_10M_B1_latency_ms"] = rb1.details["batch_latency_ms"]
+        extras["exact_10M_B1_stream_GBps"] = rb1.details[
+            "effective_catalog_stream_GBps"
+        ]
+    except Exception as e:  # pragma: no cover
+        log.warning("10M B=1 bench failed: %s", e)
     try:
         r64 = run_benchmark(
             num_items=1_000_000, num_queries=1024, feature_dim=64, k=10,

@@ -137,6 +137,15 @@ def synthetic_interactions(
 # --------------------------------------------------------------------------
 
 
+def _als_block_rows(n: int, md: int, d: int) -> int:
+    """Row-block size keeping the half-step's live tensors ~<=1 GB: the
+    batched normal matrices are (rows, D, D) and the gathered neighbor
+    vectors (rows, md, D) — at north-star scale (1M users x d=64) the
+    unblocked versions alone would want 16+ GB of HBM."""
+    per_row = 4 * d * (d + 2 * max(1, md))
+    return max(1024, min(n, 1_000_000_000 // per_row))
+
+
 def _als_solve(
     other: jnp.ndarray,        # (M, D) fixed factor table
     item_idx: jnp.ndarray,     # (N, md) int32 neighbor ids into `other`
@@ -144,30 +153,46 @@ def _als_solve(
     mask: jnp.ndarray,         # (N, md) bool
     reg: float,
     alpha: float,
+    solve_block: int = 0,
 ) -> jnp.ndarray:
     """One ALS half-step: re-solve every row given the fixed `other` table.
 
     Implements the implicit-feedback normal equations with the Gramian
-    trick; all N solves run as one batched Cholesky.  Fully-masked rows
-    (padding) solve (G + λI) x = 0 → 0, harmlessly.
+    trick; solves run as batched Cholesky factorizations, processed in
+    `solve_block`-row blocks via `lax.map` (0 = auto-size to ~1 GB of
+    live per-block tensors) so memory stays bounded at any user count.
+    Fully-masked rows (padding) solve (G + λI) x = 0 → 0, harmlessly.
     """
+    n, md = item_idx.shape
     d = other.shape[1]
     gram = jnp.dot(
         other.T, other, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )                                                     # (D, D) MXU
-    y = other[item_idx]                                   # (N, md, D) gather
-    w = jnp.where(mask, alpha * confidence, 0.0)          # (N, md)
-    cpref = jnp.where(mask, 1.0 + alpha * confidence, 0.0)
-    # A_n = G + λI + Σ_j w_nj y_nj y_njᵀ   (batched outer-product einsum)
-    a = (
-        gram[None]
-        + jnp.einsum("nj,njd,nje->nde", w, y, y)
-        + reg * jnp.eye(d, dtype=other.dtype)[None]
-    )
-    b = jnp.einsum("nj,njd->nd", cpref, y)                # (N, D)
-    chol = jax.scipy.linalg.cho_factor(a, lower=True)
-    return jax.scipy.linalg.cho_solve(chol, b)
+    eye = reg * jnp.eye(d, dtype=other.dtype)
+
+    def solve_rows(idx, conf, msk):
+        y = other[idx]                                    # (r, md, D)
+        w = jnp.where(msk, alpha * conf, 0.0)             # (r, md)
+        cpref = jnp.where(msk, 1.0 + alpha * conf, 0.0)
+        # A_r = G + λI + Σ_j w_rj y_rj y_rjᵀ  (batched outer-product)
+        a = gram[None] + jnp.einsum("nj,njd,nje->nde", w, y, y) + eye[None]
+        b = jnp.einsum("nj,njd->nd", cpref, y)            # (r, D)
+        chol = jax.scipy.linalg.cho_factor(a, lower=True)
+        return jax.scipy.linalg.cho_solve(chol, b)
+
+    block = solve_block or _als_block_rows(n, md, d)
+    if n <= block:
+        return solve_rows(item_idx, confidence, mask)
+    nb = -(-n // block)
+    npad = nb * block - n
+    idx3 = jnp.pad(item_idx, ((0, npad), (0, 0))).reshape(nb, block, md)
+    conf3 = jnp.pad(confidence, ((0, npad), (0, 0))).reshape(nb, block, md)
+    mask3 = jnp.pad(mask, ((0, npad), (0, 0))).reshape(nb, block, md)
+    out = jax.lax.map(
+        lambda t: solve_rows(*t), (idx3, conf3, mask3)
+    )                                                     # (nb, block, D)
+    return out.reshape(nb * block, d)[:n]
 
 
 @partial(jax.jit, static_argnames=("reg", "alpha"))

@@ -130,3 +130,59 @@ class TestRetrieveAndUserCommands:
             cli.main(["recommend", "--song", "Song 5", "-n", "2", "--catalog", "emb.npz"])
             == 0
         )
+
+
+class TestMeshFlag:
+    """VERDICT r1 item 7: `--mesh data=N,catalog=M` runs on the virtual
+    8-device mesh in CI."""
+
+    def test_train_two_tower_on_data_mesh(self, workdir, songs_csv, capsys):
+        cli.main(["--preprocess", str(songs_csv)])
+        capsys.readouterr()
+        rc = cli.main(
+            ["train-two-tower", "--catalog", cli.DEFAULT_CATALOG,
+             "-o", "tt_mesh.model", "--dim", "8", "--steps", "5",
+             "--batch-size", "32", "--mesh", "data=8"]
+        )
+        assert rc == 0
+        assert os.path.exists("tt_mesh.model")
+
+    def test_train_mf_sharded_tables_on_catalog_mesh(self, workdir, tmp_path):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        rows = ["user_id,item_id,count"]
+        for u in range(40):
+            for it in rng.choice(30, size=6, replace=False):
+                rows.append(f"{u},{it},{1 + rng.integers(4)}")
+        (tmp_path / "inter.csv").write_text("\n".join(rows) + "\n")
+        rc = cli.main(
+            ["train-mf", str(tmp_path / "inter.csv"), "-o", "mf_mesh.npz",
+             "--dim", "8", "--iterations", "2",
+             "--mesh", "catalog=8", "--shard-tables"]
+        )
+        assert rc == 0
+        assert os.path.exists("mf_mesh.npz")
+
+    def test_retrieve_on_catalog_mesh(self, workdir, songs_csv, capsys):
+        import numpy as np
+
+        cli.main(["--preprocess", str(songs_csv)])
+        from spotify_recommender_tpu.data.catalog import Catalog
+
+        cat = Catalog.load(cli.DEFAULT_CATALOG)
+        np.savez("queries.npz", queries=cat.features[:4])
+        capsys.readouterr()
+        rc = cli.main(
+            ["retrieve", "queries.npz", "-k", "3", "--mesh", "catalog=8",
+             "--catalog", cli.DEFAULT_CATALOG, "-o", "out.npz"]
+        )
+        assert rc == 0
+        with np.load("out.npz") as z:
+            assert z["rows"].shape == (4, 3)
+
+    def test_bad_mesh_spec_rejected(self):
+        with pytest.raises(SystemExit):
+            cli._parse_mesh("bogus")
+        with pytest.raises(SystemExit):
+            cli._parse_mesh("model=4")
