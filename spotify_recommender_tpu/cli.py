@@ -220,6 +220,7 @@ def cmd_train_two_tower(args) -> int:
         args.catalog, cfg, args.output,
         mesh=_parse_mesh(args.mesh),
         checkpoint_dir=args.checkpoint_dir,
+        interactions_path=args.interactions,
     )
 
 
@@ -392,6 +393,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="device mesh, e.g. data=8 (data-parallel batches)")
     st.add_argument("--checkpoint-dir", default=None,
                     help="Orbax checkpoint dir (resume from latest)")
+    st.add_argument("--interactions", default=None,
+                    help="user_id,item_id,count CSV/npz: train on co-listen "
+                         "pairs instead of same-genre self-supervision")
 
     sev = sub.add_parser(
         "evaluate-mf", help="recall@k / NDCG@k of an MF model on held-out data"

@@ -161,22 +161,24 @@ def colisten_pair_fn(
     two-tower training. Returns a pair_fn(batch_size) for `train`.
 
     `interactions` is a models.mf.Interactions; users with fewer than two
-    interactions are excluded."""
-    users = [
-        interactions.item_idx[u][interactions.mask[u]]
-        for u in range(interactions.num_users)
-    ]
-    users = [items for items in users if len(items) >= 2]
-    if not users:
+    interactions are excluded.  Fully vectorized (no per-user or per-batch
+    Python loops — at north-star user counts those dominated)."""
+    degrees = interactions.mask.sum(axis=1)
+    eligible = np.nonzero(degrees >= 2)[0]
+    if len(eligible) == 0:
         raise ValueError("no users with >= 2 interactions")
+    item_idx = interactions.item_idx
 
     def pair_fn(batch_size: int):
-        q_rows = np.empty(batch_size, np.int64)
-        p_rows = np.empty(batch_size, np.int64)
-        for b in range(batch_size):
-            items = users[rng.integers(0, len(users))]
-            a, p = rng.choice(len(items), size=2, replace=False)
-            q_rows[b], p_rows[b] = items[a], items[p]
+        u = eligible[rng.integers(0, len(eligible), batch_size)]
+        d = degrees[u]
+        # two distinct valid positions per sampled user, vectorized:
+        # a uniform in [0, d), p uniform in [0, d-1) shifted past a
+        a = rng.integers(0, d)
+        p = rng.integers(0, d - 1)
+        p = np.where(p >= a, p + 1, p)
+        q_rows = item_idx[u, a]
+        p_rows = item_idx[u, p]
         q = features[q_rows].astype(np.float32)
         if noise:
             q = q + noise * rng.standard_normal(q.shape).astype(np.float32)
@@ -368,13 +370,31 @@ def train_from_cli(
     output: str,
     mesh: Optional[Mesh] = None,
     checkpoint_dir: Optional[str] = None,
+    interactions_path: Optional[str] = None,
 ) -> int:
     from spotify_recommender_tpu.data.catalog import Catalog
 
     cat = Catalog.load(catalog_path)
+    pair_fn = None
+    if interactions_path:
+        # collaborative positives (co-listen pairs) instead of the
+        # default same-genre self-supervision
+        from spotify_recommender_tpu.models import mf as mf_mod
+
+        inter = mf_mod.load_interactions(interactions_path)
+        if inter.num_items > len(cat):
+            print(
+                f"Error: interactions reference item {inter.num_items - 1} "
+                f"but the catalog has only {len(cat)} rows",
+                file=__import__("sys").stderr,
+            )
+            return 1
+        pair_fn = colisten_pair_fn(
+            inter, cat.features, np.random.default_rng(config.seed)
+        )
     result = train(
         cat.features, cat.genre_ids, config,
-        mesh=mesh, checkpoint_dir=checkpoint_dir,
+        mesh=mesh, pair_fn=pair_fn, checkpoint_dir=checkpoint_dir,
     )
     save_model(output, result.params, config)
     print(f"two-tower trained: final loss {result.losses[-1]:.4f}")

@@ -117,21 +117,6 @@ def _fused_kernel(
         dots = q_ref[:, 0:1] * f_ref[0:1, :]
         for d in range(1, f_dim):
             dots += q_ref[:, d : d + 1] * f_ref[d : d + 1, :]
-    elif q_ref.shape[1] == 2 * f_ref.shape[0]:
-        # bf16x2 split-plane queries [qh,ql | ql,qh] vs [hi;lo] catalog:
-        # two dots cover all four plane products (see _scan_kernel)
-        f2 = f_ref.shape[0]
-        dots = jax.lax.dot_general(
-            q_ref[:, :f2], f_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        ) + jax.lax.dot_general(
-            q_ref[:, f2:], f_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
     else:
         dots = jax.lax.dot_general(
             q_ref[:],
@@ -348,9 +333,9 @@ def _prepare_and_call(
         # reference's guard semantics)
         q_pad = q_pad / jnp.maximum(qn, jnp.float32(1e-30))
     if split2:
-        # bf16x2 split planes: queries as [qh,ql | ql,qh] so the kernel's
-        # two dots against the [hi;lo] catalog cover all four plane
-        # pairs = the full (q_hi+q_lo)·(c_hi+c_lo) product (~2^-16)
+        # bf16x2 split planes: queries as [qh, ql, ql, qh] pair with the
+        # catalog's [hi, lo, hi, lo] planes so ONE dot computes the full
+        # (q_hi+q_lo)·(c_hi+c_lo) product (~2^-16)
         hi = q_pad.astype(jnp.bfloat16)
         lo = (q_pad - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         q_pad = jnp.concatenate([hi, lo, lo, hi], axis=1)  # (bp, 4F) bf16
@@ -414,15 +399,19 @@ class FusedRetriever:
             # stay zero (dot 0 -> score 0, same as the reference guard)
             feats = feats / np.maximum(norms, 1e-30)[:, None]
         if self.split2:
-            # hi/lo split planes stacked on the contraction axis: the
-            # kernel's one bf16 MXU pass computes
-            # (q_hi+q_lo)·(c_hi+c_lo) = the fp32 dot to ~2^-16
+            # [hi, lo, hi, lo] planes paired with query [qh, ql, ql, qh]:
+            # ONE bf16 MXU pass computes the full
+            # (q_hi+q_lo)·(c_hi+c_lo) product to ~2^-16
             # (BF16X2_EPS derivation below)
             hi = feats.astype(np.dtype(jnp.bfloat16))
             lo = (feats - hi.astype(np.float32)).astype(np.dtype(jnp.bfloat16))
-            ft = np.zeros((2 * f, np_pad), np.float32)
-            ft[:f, :n] = hi.astype(np.float32).T
-            ft[f:, :n] = lo.astype(np.float32).T
+            ft = np.zeros((4 * f, np_pad), np.float32)
+            hi32 = hi.astype(np.float32).T
+            lo32 = lo.astype(np.float32).T
+            ft[:f, :n] = hi32
+            ft[f : 2 * f, :n] = lo32
+            ft[2 * f : 3 * f, :n] = hi32
+            ft[3 * f :, :n] = lo32
         else:
             ft = np.zeros((f, np_pad), np.float32)
             ft[:, :n] = feats.T
@@ -567,10 +556,10 @@ class PrefilterRetriever:
 #                   and the SAME fp32 norms divide the exact tier's dots,
 #                   so norm rounding cancels to first order
 #   MXU dot         bf16 x bf16 products are exact in fp32; the full
-#                   product needs all four plane pairs, computed as TWO
-#                   24-term dots (queries sent as [qh,ql | ql,qh]) plus
-#                   one fp32 add: accumulation error
-#                   <= 49 * 2^-24 * 1.01   (Cauchy-Schwarz, unit vectors)
+#                   product needs all four plane pairs, computed as ONE
+#                   48-term dot (query [qh,ql,ql,qh] vs catalog
+#                   [hi,lo,hi,lo]): accumulation error
+#                   <= 48 * 2^-24 * 1.01   (Cauchy-Schwarz, unit vectors)
 #   exact tier      clip(dot_HIGHEST / (qn*cn)): its own fp32 error is
 #                   <= (F+2) * 2^-24 on the cosine scale
 #   clamp & guard   clip contracts differences; the 1e-8 guard uses the
@@ -643,23 +632,15 @@ def _scan_kernel(
     else:
         qv = q_ref[:]
         fv = f_ref[:]
-    # full split-plane product (q_hi+q_lo)·(c_hi+c_lo): queries arrive as
-    # [qh,ql | ql,qh] (2 x 2F) so TWO dots against the [hi;lo] catalog
-    # planes cover all four cross terms — the catalog is stored (and
-    # streamed) only once
-    f2 = f_ref.shape[0]
+    # full split-plane product (q_hi+q_lo)·(c_hi+c_lo): the query carries
+    # [qh, ql, ql, qh] against the catalog's [hi, lo, hi, lo] planes, so
+    # ONE 48-wide single-pass MXU dot covers all four cross terms
     dots = jax.lax.dot_general(
-        qv[:, :f2],
+        qv,
         fv,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,   # single-pass bf16 MXU
-    ) + jax.lax.dot_general(
-        qv[:, f2:],
-        fv,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
     )                                                       # (TQ, TC) fp32
     denom = qn_ref[:] * cn_ref[:]
     scores = jnp.where(
@@ -695,8 +676,11 @@ def _scan_kernel(
         c1 = s > v1[ww]
         c2 = s > v2[ww]
         c3 = s > v3[ww]
-        c4 = s > v4[ww]
-        v4[ww] = jnp.where(c3, v3[ww], jnp.where(c4, s, v4[ww]))
+        # 4th-best bound: the value evicted past depth 3 is min(s, v3) —
+        # v3 when s inserts above it, s when s lands below — and the
+        # bound only ever grows: max(v4, min(s, v3)) == the branchy
+        # where(c3, v3, where(s > v4, s, v4)) in 2 VPU ops instead of 3
+        v4[ww] = jnp.maximum(v4[ww], jnp.minimum(s, v3[ww]))
         v3[ww] = jnp.where(c2, v2[ww], jnp.where(c3, s, v3[ww]))
         i3[ww] = jnp.where(c2, i2[ww], jnp.where(c3, idx, i3[ww]))
         v2[ww] = jnp.where(c1, v1[ww], jnp.where(c2, s, v2[ww]))
@@ -1010,9 +994,17 @@ class CertifiedRetriever:
         unit = feats / np.maximum(norms, 1e-30)[:, None]
         hi = unit.astype(np.dtype(jnp.bfloat16))
         lo = (unit - hi.astype(np.float32)).astype(np.dtype(jnp.bfloat16))
-        ft = np.zeros((2 * f, np_pad), np.float32)
-        ft[:f, :n] = hi.astype(np.float32).T
-        ft[f:, :n] = lo.astype(np.float32).T
+        # FOUR planes [hi, lo, hi, lo] paired with query [qh, ql, ql, qh]:
+        # ONE 48-wide MXU pass covers all four split products — the MXU's
+        # contraction is idle below 128 anyway, so doubling stored bytes
+        # (96 B/item = 2x fp32) buys back a whole second dot pass
+        ft = np.zeros((4 * f, np_pad), np.float32)
+        hi32 = hi.astype(np.float32).T
+        lo32 = lo.astype(np.float32).T
+        ft[:f, :n] = hi32
+        ft[f : 2 * f, :n] = lo32
+        ft[2 * f : 3 * f, :n] = hi32
+        ft[3 * f :, :n] = lo32
         nrm = np.zeros((1, np_pad), np.float32)
         nrm[0, :n] = norms
         self.features_t2 = jax.device_put(jnp.asarray(ft, jnp.bfloat16))

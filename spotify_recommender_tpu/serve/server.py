@@ -171,7 +171,7 @@ class RecommenderService:
         with self._lock:
             s = dict(self._stats)
         n = max(1, s["requests"])
-        return {
+        out = {
             "requests": s["requests"],
             "errors": s["errors"],
             "mean_latency_ms": round(1e3 * s["total_latency_s"] / n, 3),
@@ -179,6 +179,12 @@ class RecommenderService:
             "backend": self.retriever._backend,
             "coalescer": dict(self.coalescer.stats),
         }
+        fused = getattr(self.retriever, "_fused", None)
+        if fused is not None and hasattr(fused, "fallbacks"):
+            # certified tier observability: how many queries needed the
+            # oracle fallback (provably-ambiguous near-ties)
+            out["certificate_fallbacks"] = fused.fallbacks
+        return out
 
     def recommend(self, query: str, by_id: bool, k: int) -> dict:
         t0 = time.perf_counter()

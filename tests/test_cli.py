@@ -186,3 +186,37 @@ class TestMeshFlag:
             cli._parse_mesh("bogus")
         with pytest.raises(SystemExit):
             cli._parse_mesh("model=4")
+
+
+class TestTwoTowerInteractions:
+    def test_colisten_training_via_cli(self, workdir, songs_csv, capsys):
+        import numpy as np
+
+        cli.main(["--preprocess", str(songs_csv)])
+        rng = np.random.default_rng(0)
+        rows = ["user_id,item_id,count"]
+        for u in range(30):
+            for it in rng.choice(100, size=5, replace=False):
+                rows.append(f"{u},{it},{1 + rng.integers(3)}")
+        with open("inter.csv", "w") as f:
+            f.write("\n".join(rows) + "\n")
+        capsys.readouterr()
+        rc = cli.main(
+            ["train-two-tower", "--catalog", cli.DEFAULT_CATALOG,
+             "-o", "tt_col.model", "--dim", "8", "--steps", "5",
+             "--batch-size", "16", "--interactions", "inter.csv"]
+        )
+        assert rc == 0
+        assert os.path.exists("tt_col.model")
+
+    def test_interactions_exceeding_catalog_rejected(
+        self, workdir, songs_csv, capsys
+    ):
+        cli.main(["--preprocess", str(songs_csv)])
+        with open("bad.csv", "w") as f:
+            f.write("user_id,item_id,count\n0,999999,1\n0,3,1\n")
+        rc = cli.main(
+            ["train-two-tower", "--catalog", cli.DEFAULT_CATALOG,
+             "-o", "x.model", "--steps", "2", "--interactions", "bad.csv"]
+        )
+        assert rc == 1
