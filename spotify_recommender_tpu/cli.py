@@ -146,7 +146,14 @@ def cmd_retrieve(args) -> int:
         with np.load(args.queries) as z:
             queries = z["queries"]
     cat = _load_catalog(args.catalog)
-    retriever = Retriever(cat, mesh=_parse_mesh(args.mesh))
+    if args.streaming:
+        from spotify_recommender_tpu.retrieval.streaming_retriever import (
+            StreamingRetriever,
+        )
+
+        retriever = StreamingRetriever(cat.features, cat.norms)
+    else:
+        retriever = Retriever(cat, mesh=_parse_mesh(args.mesh))
     scores, rows = retriever.retrieve(queries, k=args.k)
     scores, rows = np.asarray(scores), np.asarray(rows)
     if args.output:
@@ -356,6 +363,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write results to .npz (default: print JSON)")
     sv.add_argument("--mesh", default=None,
                     help="device mesh, e.g. data=1,catalog=8 (row-sharded catalog)")
+    sv.add_argument("--streaming", action="store_true",
+                    help="host-stream the catalog through the device in "
+                         "windows (capacity tier for catalogs beyond "
+                         "device memory; pair with a memmap catalog dir)")
 
     sb = sub.add_parser("benchmark", help="retrieval throughput benchmark")
     sb.add_argument("--items", type=int, default=1_000_000)

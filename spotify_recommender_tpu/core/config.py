@@ -84,6 +84,11 @@ class RetrievalConfig:
     # CertifiedRetriever: candidates kept by the bf16x2 prefilter before
     # the exact fp32 rerank; larger = fewer certificate fallbacks.
     prefilter: int = 32
+    # bf16x2 catalog layout: 4 planes [hi,lo,hi,lo] = ONE MXU dot pass
+    # (fastest for batched serving, 96 B/item); 2 planes [hi,lo] = TWO
+    # dot passes but half the bytes — better for the HBM-stream-bound
+    # small-batch/large-catalog regime (e.g. B=1 at 10M items).
+    split_planes: int = 4
     # Proven |approx - exact| bound for the bf16x2 split-plane dot
     # (see ops/pallas/fused_topk.py BF16X2_EPS derivation); the certified
     # tier's exactness certificate uses this margin.

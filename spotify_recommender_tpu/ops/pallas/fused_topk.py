@@ -632,16 +632,32 @@ def _scan_kernel(
     else:
         qv = q_ref[:]
         fv = f_ref[:]
-    # full split-plane product (q_hi+q_lo)·(c_hi+c_lo): the query carries
-    # [qh, ql, ql, qh] against the catalog's [hi, lo, hi, lo] planes, so
-    # ONE 48-wide single-pass MXU dot covers all four cross terms
-    dots = jax.lax.dot_general(
-        qv,
-        fv,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,   # single-pass bf16 MXU
-    )                                                       # (TQ, TC) fp32
+    # full split-plane product (q_hi+q_lo)·(c_hi+c_lo): the query always
+    # carries [qh, ql, ql, qh].  4-plane catalogs ([hi,lo,hi,lo]) need
+    # ONE 4F-wide MXU pass; 2-plane catalogs ([hi,lo], half the HBM
+    # stream for the small-batch/large-catalog regime) pair the query
+    # halves with the planes in TWO passes.
+    if qv.shape[1] == fv.shape[0]:
+        dots = jax.lax.dot_general(
+            qv,
+            fv,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,   # single-pass bf16 MXU
+        )                                                   # (TQ, TC) fp32
+    else:
+        f2 = fv.shape[0]
+        dots = jax.lax.dot_general(
+            qv[:, :f2], fv,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        ) + jax.lax.dot_general(
+            qv[:, f2:], fv,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
     denom = qn_ref[:] * cn_ref[:]
     scores = jnp.where(
         denom > jnp.float32(eps), jnp.clip(dots, -1.0, 1.0), jnp.float32(0.0)
@@ -994,17 +1010,25 @@ class CertifiedRetriever:
         unit = feats / np.maximum(norms, 1e-30)[:, None]
         hi = unit.astype(np.dtype(jnp.bfloat16))
         lo = (unit - hi.astype(np.float32)).astype(np.dtype(jnp.bfloat16))
-        # FOUR planes [hi, lo, hi, lo] paired with query [qh, ql, ql, qh]:
-        # ONE 48-wide MXU pass covers all four split products — the MXU's
-        # contraction is idle below 128 anyway, so doubling stored bytes
-        # (96 B/item = 2x fp32) buys back a whole second dot pass
-        ft = np.zeros((4 * f, np_pad), np.float32)
+        planes = 4 if config.split_planes != 2 else 2
         hi32 = hi.astype(np.float32).T
         lo32 = lo.astype(np.float32).T
-        ft[:f, :n] = hi32
-        ft[f : 2 * f, :n] = lo32
-        ft[2 * f : 3 * f, :n] = hi32
-        ft[3 * f :, :n] = lo32
+        if planes == 4:
+            # [hi, lo, hi, lo] paired with query [qh, ql, ql, qh]: ONE
+            # 4F-wide MXU pass covers all four split products — the
+            # contraction is idle below 128 anyway, so doubling stored
+            # bytes (96 B/item = 2x fp32) buys back a second dot pass
+            ft = np.zeros((4 * f, np_pad), np.float32)
+            ft[:f, :n] = hi32
+            ft[f : 2 * f, :n] = lo32
+            ft[2 * f : 3 * f, :n] = hi32
+            ft[3 * f :, :n] = lo32
+        else:
+            # [hi, lo]: half the bytes, two MXU passes — for the
+            # HBM-stream-bound small-batch/large-catalog regime
+            ft = np.zeros((2 * f, np_pad), np.float32)
+            ft[:f, :n] = hi32
+            ft[f:, :n] = lo32
         nrm = np.zeros((1, np_pad), np.float32)
         nrm[0, :n] = norms
         self.features_t2 = jax.device_put(jnp.asarray(ft, jnp.bfloat16))

@@ -166,3 +166,19 @@ class TestTieSemantics:
         got = np.asarray(i)[0].tolist()
         assert got[0] == 100 and 500 in got and 2500 in got
         assert got.index(500) < got.index(2500)
+
+
+class TestPlaneLayouts:
+    def test_two_plane_matches_four_plane(self, rng):
+        """split_planes=2 (half the HBM stream, two dots) must agree with
+        the default 4-plane single-dot layout and the oracle."""
+        feats, norms, q = make_data(rng, 6000, b=8)
+        cr4 = CertifiedRetriever(feats, norms, interpret=True)
+        cr2 = CertifiedRetriever(
+            feats, norms, RetrievalConfig(split_planes=2), interpret=True
+        )
+        s4, i4 = cr4(q, 10)
+        s2, i2 = cr2(q, 10)
+        np.testing.assert_array_equal(np.asarray(i4), np.asarray(i2))
+        rs, ri = oracle(q, feats, norms, 10)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(ri))

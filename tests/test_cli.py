@@ -220,3 +220,22 @@ class TestTwoTowerInteractions:
              "-o", "x.model", "--steps", "2", "--interactions", "bad.csv"]
         )
         assert rc == 1
+
+
+class TestStreamingFlag:
+    def test_retrieve_streaming(self, workdir, songs_csv, capsys):
+        import numpy as np
+
+        cli.main(["--preprocess", str(songs_csv)])
+        from spotify_recommender_tpu.data.catalog import Catalog
+
+        cat = Catalog.load(cli.DEFAULT_CATALOG)
+        np.savez("queries.npz", queries=cat.features[:3])
+        capsys.readouterr()
+        rc = cli.main(
+            ["retrieve", "queries.npz", "-k", "4", "--streaming",
+             "--catalog", cli.DEFAULT_CATALOG, "-o", "out_s.npz"]
+        )
+        assert rc == 0
+        with np.load("out_s.npz") as z:
+            assert z["rows"].shape == (3, 4)
