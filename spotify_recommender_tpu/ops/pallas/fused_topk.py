@@ -236,6 +236,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _bucket_batch(b: int) -> int:
+    """Pad batch sizes to a bounded shape set so variable-size callers
+    (e.g. the serving coalescer) hit cached jit executables instead of
+    recompiling per size: powers of two up to 512, then 512-multiples.
+    Worst-case padding waste is 2x compute on a half-empty bucket."""
+    if b <= 8:
+        return 8
+    if b <= 512:
+        return 1 << (b - 1).bit_length()
+    return _round_up(b, 512)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tq", "tc", "eps", "exact", "interpret"),
@@ -430,8 +442,17 @@ class FusedRetriever:
         b, f = queries.shape
         if f != self.feature_dim:
             raise ValueError(f"query dim {f} != catalog dim {self.feature_dim}")
-        tq = min(self.config.query_tile, _round_up(b, 8))
-        return _prepare_and_call(
+        bb = _bucket_batch(b)
+        if bb != b:
+            queries = jnp.zeros((bb, f), jnp.float32).at[:b].set(queries)
+            if exclude_rows is not None:
+                exclude_rows = (
+                    jnp.full((bb,), -1, jnp.int32)
+                    .at[:b]
+                    .set(jnp.asarray(exclude_rows, jnp.int32))
+                )
+        tq = min(self.config.query_tile, _round_up(bb, 8))
+        out_s, out_i = _prepare_and_call(
             queries,
             exclude_rows if exclude_rows is None else jnp.asarray(exclude_rows),
             self.features_t,
@@ -445,6 +466,7 @@ class FusedRetriever:
             split2=self.split2,
             interpret=self.interpret,
         )
+        return out_s[:b], out_i[:b]
 
 
 def fused_score_topk(
@@ -765,13 +787,15 @@ def _scan_call(
     ),
 )
 def _certified_retrieve(
-    queries,        # (B, F) fp32 raw queries
-    features_t2,    # (2F, Np) bf16 split planes, prenormalized rows
+    queries,        # (B, F) fp32 raw queries (may be bucket-padded)
+    features_t2,    # (kF, Np) bf16 split planes, prenormalized rows
     norms_row,      # (1, Np) fp32 catalog norms
     features32,     # (N, F) fp32 row-major catalog (for the exact rerank)
     norms1d,        # (N,) fp32
     excl,           # (B,) int32 excluded rows (-1 = none)
     valid,          # (1, 1) int32 valid row count
+    nreal=None,     # () int32 real query count (padded rows are exempted
+                    # from the certificate: their outputs are discarded)
     *,
     k: int,
     c: int,
@@ -869,6 +893,11 @@ def _certified_retrieve(
     v4max = jnp.max(cb, axis=1)
     # coverage: every non-candidate's exact score provably < s_k
     ok = jnp.maximum(a_c, v4max) + jnp.float32(ceps) < s_k
+    if nreal is not None:
+        # bucket-padding rows (all-zero queries) legitimately score 0
+        # everywhere and would fail the certificate for nothing — their
+        # outputs are sliced away by the caller
+        ok = ok | (jnp.arange(b, dtype=jnp.int32) >= nreal)
     # order safety: on TPU the rerank is oracle-bitwise (see above) so
     # candidate ordering is certified unconditionally; elsewhere adjacent
     # top-(k+1) exact scores must be separated by more than any legal
@@ -1113,8 +1142,12 @@ class CertifiedRetriever:
         c = min(max(self.config.prefilter, k), 3 * self.w)
         if k > 3 * self.w:
             return self._fallback(queries, k, excl)
-        tq = min(self.config.query_tile, _round_up(b, 8))
-        cap = min(b, self.fallback_cap)
+        bb = _bucket_batch(b)
+        if bb != b:
+            queries = jnp.zeros((bb, f), jnp.float32).at[:b].set(queries)
+            excl = jnp.full((bb,), -1, jnp.int32).at[:b].set(excl)
+        tq = min(self.config.query_tile, _round_up(bb, 8))
+        cap = min(bb, self.fallback_cap)
         top_s, top_i, ok, overflow = _certified_retrieve(
             queries,
             self.features_t2,
@@ -1123,6 +1156,7 @@ class CertifiedRetriever:
             self.norms1d,
             excl,
             self._valid,
+            jnp.int32(b),
             k=k, c=c, tq=tq, tc=self.tc, w=self.w,
             eps=self.config.eps, ceps=float(BF16X2_EPS),
             fallback_cap=cap,
@@ -1139,11 +1173,14 @@ class CertifiedRetriever:
                 (overflow, jnp.sum((~ok).astype(jnp.int32)))
             )
             if bool(overflow_h):
-                return self._handle_overflow(queries, k, excl, top_s, top_i)
+                s_o, i_o = self._handle_overflow(
+                    queries, k, excl, top_s, top_i
+                )
+                return s_o[:b], i_o[:b]
             self.fallbacks += int(nfail_h)
         else:
             self._pending.append((overflow, ok))
-        return top_s, top_i
+        return top_s[:b], top_i[:b]
 
     def _handle_overflow(self, queries, k, excl, top_s, top_i):
         """>fallback_cap ambiguous queries in one batch: rerun ALL
@@ -1151,7 +1188,7 @@ class CertifiedRetriever:
         ~never taken — requires >cap sub-2e-6 near-ties at once)."""
         _, _, ok, _ = _certified_retrieve(
             queries, self.features_t2, self.norms_row, self.features32,
-            self.norms1d, excl, self._valid,
+            self.norms1d, excl, self._valid, jnp.int32(queries.shape[0]),
             k=k, c=min(max(self.config.prefilter, k), 3 * self.w),
             tq=min(self.config.query_tile, _round_up(queries.shape[0], 8)),
             tc=self.tc, w=self.w, eps=self.config.eps,
@@ -1168,6 +1205,55 @@ class CertifiedRetriever:
         s_h[bad] = np.asarray(fs)
         i_h[bad] = np.asarray(fi)
         return jnp.asarray(s_h), jnp.asarray(i_h)
+
+    def retrieve_sync(
+        self,
+        queries: jnp.ndarray,
+        k: int,
+        exclude_rows: Optional[jnp.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Certified retrieval with results + overflow flag fetched in ONE
+        host round trip (serving hot path; each RT costs ~30 ms on
+        tunneled backends).  Returns numpy arrays."""
+        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        b, f = queries.shape
+        if f != self.feature_dim:
+            raise ValueError(
+                f"query dim {f} != catalog dim {self.feature_dim}"
+            )
+        excl = (
+            jnp.full((b,), -1, jnp.int32)
+            if exclude_rows is None
+            else jnp.asarray(exclude_rows, jnp.int32)
+        )
+        c = min(max(self.config.prefilter, k), 3 * self.w)
+        if k > 3 * self.w:
+            fs, fi = self._fallback(queries, k, excl)
+            return np.asarray(fs), np.asarray(fi)
+        bb = _bucket_batch(b)
+        q_in, e_in = queries, excl
+        if bb != b:
+            q_in = jnp.zeros((bb, f), jnp.float32).at[:b].set(queries)
+            e_in = jnp.full((bb,), -1, jnp.int32).at[:b].set(excl)
+        tq = min(self.config.query_tile, _round_up(bb, 8))
+        cap = min(bb, self.fallback_cap)
+        top_s, top_i, ok, overflow = _certified_retrieve(
+            q_in, self.features_t2, self.norms_row, self.features32,
+            self.norms1d, e_in, self._valid, jnp.int32(b),
+            k=k, c=c, tq=tq, tc=self.tc, w=self.w,
+            eps=self.config.eps, ceps=float(BF16X2_EPS),
+            fallback_cap=cap,
+            bitexact_rerank=jax.default_backend() == "tpu",
+            interpret=self.interpret,
+        )
+        s_h, i_h, overflow_h, nfail_h = jax.device_get(
+            (top_s, top_i, overflow, jnp.sum((~ok).astype(jnp.int32)))
+        )
+        if bool(overflow_h):
+            s_o, i_o = self._handle_overflow(q_in, k, e_in, top_s, top_i)
+            return np.asarray(s_o)[:b], np.asarray(i_o)[:b]
+        self.fallbacks += int(nfail_h)
+        return s_h[:b], i_h[:b]
 
     def verify_no_overflow(self) -> int:
         """Drain deferred overflow flags (sync_check=False mode): returns

@@ -150,3 +150,54 @@ class TestBitEqualityCanary:
                 f"bitwise rerank/oracle divergence at b={b} c={c} gsz={gsz}: "
                 f"max |diff| {np.abs(got - want).max()}"
             )
+
+
+class TestEpsBoundOnChip:
+    """BF16X2_EPS soundness on the REAL MXU: the scan kernel's approx
+    scores (compiled Mosaic, hardware accumulation order) must stay
+    within the proven bound of the fp32 oracle cosine for every (query,
+    candidate) pair the kernel surfaces."""
+
+    def test_scan_scores_within_eps(self):
+        import jax.numpy as jnp
+
+        from spotify_recommender_tpu.ops.pallas.fused_topk import (
+            BF16X2_EPS,
+            CertifiedRetriever,
+            _round_up,
+            _scan_call,
+        )
+
+        rng = np.random.default_rng(11)
+        n, f, b = 150_000, 12, 256
+        feats = rng.random((n, f), dtype=np.float32)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        q = feats[rng.integers(0, n, b)]
+        cr = CertifiedRetriever(feats, norms)
+        tq = 256
+        bp = _round_up(b, tq)
+        q_pad = np.zeros((bp, f), np.float32)
+        q_pad[:b] = q
+        qn = np.linalg.norm(q_pad, axis=1, keepdims=True).astype(np.float32)
+        qunit = q_pad / np.maximum(qn, 1e-30)
+        qh = jnp.asarray(qunit, jnp.bfloat16)
+        ql = jnp.asarray(qunit - np.asarray(qh, np.float32), jnp.bfloat16)
+        q4 = jnp.concatenate([qh, ql, ql, qh], axis=1)
+        excl = jnp.full((bp, 1), -1, jnp.int32)
+        cv, ci, cb = _scan_call(
+            q4, jnp.asarray(qn), cr.features_t2, cr.norms_row, excl,
+            cr._valid, tq=tq, tc=cr.tc, w=cr.w, eps=1e-8,
+        )
+        cv = np.asarray(cv[:b])
+        ci = np.asarray(ci[:b])
+        # exact fp32 cosine for every surfaced candidate
+        valid = ci >= 0
+        safe = np.clip(ci, 0, n - 1)
+        rows = feats[safe]                                   # (b, 3W, f)
+        dots = np.einsum("bf,bcf->bc", q, rows, dtype=np.float32)
+        den = qn[:b] * norms[safe]
+        exact = np.where(
+            den > 1e-8, np.clip(dots / np.where(den > 1e-8, den, 1), -1, 1), 0
+        )
+        err = np.abs(np.where(valid, cv - exact, 0.0))
+        assert err.max() < BF16X2_EPS, f"on-chip eps violation: {err.max()}"
