@@ -209,6 +209,94 @@ def _als_half_step(
     return _als_solve(other, item_idx, confidence, mask, reg, alpha)
 
 
+def _als_pp_solve(
+    other: jnp.ndarray,        # (M, D) fixed factor table
+    item_idx: jnp.ndarray,     # (N, md) int32 neighbor ids into `other`
+    confidence: jnp.ndarray,   # (N, md) float32
+    mask: jnp.ndarray,         # (N, md) bool
+    x0: jnp.ndarray,           # (N, D) current factors (warm start)
+    reg: float,
+    alpha: float,
+    subspace: int,
+    solve_block: int = 0,
+) -> jnp.ndarray:
+    """iALS++ half-step: subspace block-coordinate descent
+    (Rendle et al., "iALS++: Speeding up Matrix Factorization with
+    Subspace Optimization", arXiv:2110.14044 — PAPERS.md).
+
+    Instead of one D x D normal-equation solve per row, one sweep updates
+    D/subspace coordinate blocks with `subspace`-sized solves, keeping a
+    per-(row, neighbor) prediction cache that is corrected incrementally
+    after each block.  The dominant cost drops from
+    O(nnz * D^2 + N * D^3) to O(nnz * D * k + N * D * k^2), a ~D/k
+    speedup per sweep at D=64/k=16; one sweep per half-step is the
+    standard schedule (it is exact Gauss-Seidel on the per-row quadratic,
+    so with subspace == D it reproduces the full solve).
+    """
+    n, md = item_idx.shape
+    d = other.shape[1]
+    k = max(1, min(subspace, d))
+    assert d % k == 0, f"subspace {k} must divide embedding dim {d}"
+    gram = jnp.dot(
+        other.T, other, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                     # (D, D)
+    eye_k = reg * jnp.eye(k, dtype=other.dtype)
+
+    def sweep_rows(idx, conf, msk, x):
+        y = other[idx]                                    # (r, md, D)
+        w = jnp.where(msk, alpha * conf, 0.0)
+        cpref = jnp.where(msk, 1.0 + alpha * conf, 0.0)
+        pred = jnp.einsum("njd,nd->nj", y, x)             # (r, md) cache
+        for s in range(0, d, k):
+            ys = y[:, :, s : s + k]                       # (r, md, k)
+            a_ss = (
+                gram[s : s + k, s : s + k][None]
+                + jnp.einsum("nj,nja,njb->nab", w, ys, ys)
+                + eye_k[None]
+            )
+            b_s = jnp.einsum("nj,nja->na", cpref, ys)
+            # (A x)_S = (G x)_S + sum_j w_j pred_j y_jS + lambda x_S
+            ax_s = (
+                x @ gram[:, s : s + k]
+                + jnp.einsum("nj,nja->na", w * pred, ys)
+                + reg * x[:, s : s + k]
+            )
+            chol = jax.scipy.linalg.cho_factor(a_ss, lower=True)
+            delta = jax.scipy.linalg.cho_solve(chol, b_s - ax_s)  # (r, k)
+            x = x.at[:, s : s + k].add(delta)
+            pred = pred + jnp.einsum("na,nja->nj", delta, ys)
+        return x
+
+    block = solve_block or _als_block_rows(n, md, max(k, d // 4))
+    if n <= block:
+        return sweep_rows(item_idx, confidence, mask, x0)
+    nb = -(-n // block)
+    npad = nb * block - n
+    idx3 = jnp.pad(item_idx, ((0, npad), (0, 0))).reshape(nb, block, md)
+    conf3 = jnp.pad(confidence, ((0, npad), (0, 0))).reshape(nb, block, md)
+    mask3 = jnp.pad(mask, ((0, npad), (0, 0))).reshape(nb, block, md)
+    x3 = jnp.pad(x0, ((0, npad), (0, 0))).reshape(nb, block, d)
+    out = jax.lax.map(lambda t: sweep_rows(*t), (idx3, conf3, mask3, x3))
+    return out.reshape(nb * block, d)[:n]
+
+
+@partial(jax.jit, static_argnames=("reg", "alpha", "subspace"))
+def _als_pp_half_step(
+    solve_for: jnp.ndarray,
+    other: jnp.ndarray,
+    item_idx: jnp.ndarray,
+    confidence: jnp.ndarray,
+    mask: jnp.ndarray,
+    reg: float,
+    alpha: float,
+    subspace: int,
+) -> jnp.ndarray:
+    return _als_pp_solve(
+        other, item_idx, confidence, mask, solve_for, reg, alpha, subspace
+    )
+
+
 def make_sharded_half_step(mesh, reg: float, alpha: float, axis: str = "catalog"):
     """ALS half-step sharded over the solve axis: each device solves its
     row-shard of users (or items) against the replicated `other` table —
@@ -310,6 +398,7 @@ def train_als(
     shard_tables: bool = False,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1,
+    subspace: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full alternating loop. Returns (user_factors, item_factors).
 
@@ -319,7 +408,10 @@ def train_als(
     neighbor vectors are exchanged via the sharded-embedding lookup — for
     tables beyond one chip's HBM.  With `checkpoint_dir`, factor tables
     checkpoint every `checkpoint_every` iterations (Orbax) and training
-    resumes from the latest checkpoint if one exists."""
+    resumes from the latest checkpoint if one exists.  With `subspace` > 0
+    (must divide embedding_dim; single-device only), half-steps use the
+    iALS++ block-coordinate sweep (arXiv:2110.14044) — ~dim/subspace
+    cheaper per sweep at equal asymptotic fixed point."""
     rng = np.random.default_rng(config.seed)
     d = config.embedding_dim
     scale = 1.0 / np.sqrt(d)
@@ -343,6 +435,11 @@ def train_als(
         (rng.normal(size=(inter.num_items, d)) * scale).astype(np.float32),
         n_shards,
     )
+    if subspace and mesh is not None:
+        raise ValueError(
+            "subspace (iALS++) is single-device for now; drop the mesh "
+            "or the subspace"
+        )
     if mesh is not None and shard_tables:
         # distributed placement: no device holds a full table
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -366,9 +463,15 @@ def train_als(
     else:
         users = jnp.asarray(users)
         items = jnp.asarray(items)
-        half = partial(
-            _als_half_step, reg=config.reg, alpha=config.alpha
-        )
+        if subspace:
+            half = partial(
+                _als_pp_half_step,
+                reg=config.reg, alpha=config.alpha, subspace=subspace,
+            )
+        else:
+            half = partial(
+                _als_half_step, reg=config.reg, alpha=config.alpha
+            )
 
     ckpt_mgr = None
     start_iter = 0
@@ -833,6 +936,7 @@ def train_from_cli(
     mesh: Optional[jax.sharding.Mesh] = None,
     shard_tables: bool = False,
     checkpoint_dir: Optional[str] = None,
+    subspace: int = 0,
 ) -> int:
     inter = load_interactions(interactions_path)
     train, heldout, seen = split_leave_k_out(inter, k=2, seed=config.seed)
@@ -844,7 +948,7 @@ def train_from_cli(
     if solver == "als":
         users, items = train_als(
             train, config, mesh=mesh, shard_tables=shard_tables,
-            checkpoint_dir=checkpoint_dir,
+            checkpoint_dir=checkpoint_dir, subspace=subspace,
         )
     else:
         users, items = train_sgd(
