@@ -329,6 +329,30 @@ def cmd_embed_catalog(args) -> int:
     return 0
 
 
+def cmd_evaluate_two_tower(args) -> int:
+    from spotify_recommender_tpu.models import mf, two_tower
+
+    cat = _load_catalog(args.catalog)
+    params, cfg = two_tower.load_model(args.two_tower)
+    inter = mf.load_interactions(args.interactions)
+    if inter.num_items > len(cat):
+        print(
+            f"Error: interactions reference item {inter.num_items - 1} but "
+            f"the catalog has only {len(cat)} rows",
+            file=sys.stderr,
+        )
+        return 1
+    m = two_tower.evaluate_colisten(
+        params, cfg, cat.features, inter,
+        k=args.k, holdout=args.holdout, seed=args.seed,
+    )
+    print(
+        f"recall@{args.k}={m['recall@k']:.4f} ndcg@{args.k}={m['ndcg@k']:.4f} "
+        f"({m['num_eval_users']} users)"
+    )
+    return 0
+
+
 def cmd_serve(args) -> int:
     from spotify_recommender_tpu.serve.server import serve
 
@@ -449,6 +473,18 @@ def build_parser() -> argparse.ArgumentParser:
     g2.add_argument("--mf", help="MF model .npz (item factors)")
     se.add_argument("-o", "--output", default="embedded_catalog.npz")
 
+    sv2 = sub.add_parser(
+        "evaluate-two-tower",
+        help="recall@k / NDCG@k of a two-tower model on held-out "
+             "co-listen pairs",
+    )
+    sv2.add_argument("interactions", help="CSV/npz of (user_id,item_id,count)")
+    sv2.add_argument("--two-tower", required=True, help="two-tower model file")
+    sv2.add_argument("--catalog", default=DEFAULT_CATALOG)
+    sv2.add_argument("-k", type=int, default=10)
+    sv2.add_argument("--holdout", type=int, default=1)
+    sv2.add_argument("--seed", type=int, default=0)
+
     ss = sub.add_parser("serve", help="HTTP retrieval service")
     ss.add_argument("--catalog", default=DEFAULT_CATALOG)
     ss.add_argument("--host", default="127.0.0.1")
@@ -534,6 +570,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return cmd_train_two_tower(args)
     if args.command == "evaluate-mf":
         return cmd_evaluate_mf(args)
+    if args.command == "evaluate-two-tower":
+        return cmd_evaluate_two_tower(args)
     if args.command == "recommend-user":
         return cmd_recommend_user(args)
     if args.command == "embed-catalog":

@@ -401,6 +401,55 @@ def train_from_cli(
     return 0
 
 
+def evaluate_colisten(
+    params: Dict,
+    config: TwoTowerConfig,
+    features: np.ndarray,
+    interactions,
+    k: int = 10,
+    holdout: int = 1,
+    seed: int = 0,
+    max_eval_users: int = 10_000,
+) -> Dict[str, float]:
+    """recall@k / NDCG@k of a two-tower model on held-out co-listen pairs.
+
+    For each eligible user one interaction is held out; the QUERY is the
+    tower embedding of another item the user played, and the model must
+    rank the held-out item (scored through the same chunked MIPS stack
+    that serves retrieval, with the user's remaining items excluded)."""
+    from spotify_recommender_tpu.models.mf import (
+        evaluate_ranking_arrays,
+        split_leave_k_out_arrays,
+    )
+
+    train_i, held_idx, held_mask, seen_idx, seen_mask = (
+        split_leave_k_out_arrays(interactions, k=holdout, seed=seed)
+    )
+    item_emb = embed_catalog(params, features, config)
+    rng = np.random.default_rng(seed)
+    eligible = np.nonzero(held_mask.any(axis=1) & train_i.mask.any(axis=1))[0]
+    if len(eligible) == 0:
+        raise ValueError("no users with both train and held-out items")
+    eval_users = rng.choice(
+        eligible, size=min(max_eval_users, len(eligible)), replace=False
+    )
+    # query = tower embedding of one TRAIN item per user
+    deg = train_i.mask[eval_users].sum(axis=1)
+    pick = rng.integers(0, deg)
+    q_rows = train_i.item_idx[eval_users, pick]
+    q_emb = embed_queries(params, features[q_rows], config)
+    return evaluate_ranking_arrays(
+        np.asarray(q_emb),
+        item_emb,
+        np.arange(len(eval_users)),
+        held_idx[eval_users],
+        held_mask[eval_users],
+        k=k,
+        seen_idx=seen_idx[eval_users],
+        seen_mask=seen_mask[eval_users],
+    )
+
+
 def dryrun_train_step(mesh: Mesh) -> None:
     """Graft-driver hook: one data-parallel train step on tiny shapes over
     all devices of `mesh` (re-laid out onto a pure 'data' axis)."""

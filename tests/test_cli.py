@@ -239,3 +239,30 @@ class TestStreamingFlag:
         assert rc == 0
         with np.load("out_s.npz") as z:
             assert z["rows"].shape == (3, 4)
+
+
+class TestEvaluateTwoTower:
+    def test_train_then_evaluate(self, workdir, songs_csv, capsys):
+        import numpy as np
+
+        cli.main(["--preprocess", str(songs_csv)])
+        rng = np.random.default_rng(0)
+        rows = ["user_id,item_id,count"]
+        for u in range(40):
+            for it in rng.choice(100, size=6, replace=False):
+                rows.append(f"{u},{it},{1 + rng.integers(3)}")
+        with open("inter.csv", "w") as f:
+            f.write("\n".join(rows) + "\n")
+        assert cli.main(
+            ["train-two-tower", "--catalog", cli.DEFAULT_CATALOG,
+             "-o", "tt.model", "--dim", "8", "--steps", "10",
+             "--batch-size", "32", "--interactions", "inter.csv"]
+        ) == 0
+        capsys.readouterr()
+        rc = cli.main(
+            ["evaluate-two-tower", "inter.csv", "--two-tower", "tt.model",
+             "--catalog", cli.DEFAULT_CATALOG, "-k", "5"]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "recall@5=" in out and "ndcg@5=" in out
