@@ -1035,7 +1035,16 @@ class CertifiedRetriever:
                 break
         self.w = 128 * nw
         self.tc = tc
-        np_pad = _round_up(n, tc)
+        # small batches are grid-step-overhead-bound: with the catalog
+        # padded to the LARGE tile, the same buffer serves any dividing
+        # tile size, so tiny batches can run 8x-bigger tiles per call
+        # with zero extra memory or relayout
+        self.tc_small = (
+            max(tc, min(65536, _round_up(n, 128))) if n >= 65536 else tc
+        )
+        if self.tc_small % tc:
+            self.tc_small = tc
+        np_pad = _round_up(n, max(tc, self.tc_small))
         unit = feats / np.maximum(norms, 1e-30)[:, None]
         hi = unit.astype(np.dtype(jnp.bfloat16))
         lo = (unit - hi.astype(np.float32)).astype(np.dtype(jnp.bfloat16))
@@ -1147,6 +1156,7 @@ class CertifiedRetriever:
             queries = jnp.zeros((bb, f), jnp.float32).at[:b].set(queries)
             excl = jnp.full((bb,), -1, jnp.int32).at[:b].set(excl)
         tq = min(self.config.query_tile, _round_up(bb, 8))
+        tc = self.tc_small if bb <= 16 else self.tc
         cap = min(bb, self.fallback_cap)
         top_s, top_i, ok, overflow = _certified_retrieve(
             queries,
@@ -1157,7 +1167,7 @@ class CertifiedRetriever:
             excl,
             self._valid,
             jnp.int32(b),
-            k=k, c=c, tq=tq, tc=self.tc, w=self.w,
+            k=k, c=c, tq=tq, tc=tc, w=self.w,
             eps=self.config.eps, ceps=float(BF16X2_EPS),
             fallback_cap=cap,
             bitexact_rerank=jax.default_backend() == "tpu",
@@ -1236,11 +1246,12 @@ class CertifiedRetriever:
             q_in = jnp.zeros((bb, f), jnp.float32).at[:b].set(queries)
             e_in = jnp.full((bb,), -1, jnp.int32).at[:b].set(excl)
         tq = min(self.config.query_tile, _round_up(bb, 8))
+        tc = self.tc_small if bb <= 16 else self.tc
         cap = min(bb, self.fallback_cap)
         top_s, top_i, ok, overflow = _certified_retrieve(
             q_in, self.features_t2, self.norms_row, self.features32,
             self.norms1d, e_in, self._valid, jnp.int32(b),
-            k=k, c=c, tq=tq, tc=self.tc, w=self.w,
+            k=k, c=c, tq=tq, tc=tc, w=self.w,
             eps=self.config.eps, ceps=float(BF16X2_EPS),
             fallback_cap=cap,
             bitexact_rerank=jax.default_backend() == "tpu",
