@@ -1048,7 +1048,10 @@ class CertifiedRetriever:
         unit = feats / np.maximum(norms, 1e-30)[:, None]
         hi = unit.astype(np.dtype(jnp.bfloat16))
         lo = (unit - hi.astype(np.float32)).astype(np.dtype(jnp.bfloat16))
-        planes = 4 if config.split_planes != 2 else 2
+        # 4 planes are only free while the contraction stays inside one
+        # 128-wide MXU pass; beyond that (F > 32) the 2-plane layout does
+        # the same number of passes at HALF the bytes streamed
+        planes = 4 if (config.split_planes != 2 and 4 * f <= 128) else 2
         hi32 = hi.astype(np.float32).T
         lo32 = lo.astype(np.float32).T
         if planes == 4:
