@@ -72,11 +72,31 @@ def _parse_mesh(spec: Optional[str]):
     return make_mesh(MeshConfig(data=axes["data"], catalog=axes["catalog"]))
 
 
-def cmd_preprocess(csv_path: str, output: str) -> int:
+def cmd_preprocess(
+    csv_path: str,
+    output: str,
+    fmt: str = "npz",
+    streaming: bool = False,
+    chunk_rows: int = 200_000,
+) -> int:
     from spotify_recommender_tpu.data.catalog import preprocess_csv
 
     print("=== PREPROCESSING MODE ===")
-    cat = preprocess_csv(csv_path, output)
+    if streaming or fmt == "dir":
+        from spotify_recommender_tpu.data.streaming import (
+            preprocess_csv_streaming,
+        )
+
+        out_dir = output[:-4] if output.endswith(".npz") else output
+        cat = preprocess_csv_streaming(
+            csv_path, out_dir, chunk_rows=chunk_rows
+        )
+        output = out_dir
+    elif fmt == "bin":
+        cat = preprocess_csv(csv_path, None)
+        cat.save_reference_binary(output)
+    else:
+        cat = preprocess_csv(csv_path, output)
     print(f"Valid songs: {len(cat)}")
     print(f"Unique genres: {cat.num_genres}")
     print("\nGenre Mapping:")
@@ -368,6 +388,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("preprocess", help="CSV -> normalized catalog artifact")
     sp.add_argument("csv")
     sp.add_argument("-o", "--output", default=DEFAULT_CATALOG)
+    sp.add_argument(
+        "--format", dest="fmt", default="npz", choices=["npz", "dir", "bin"],
+        help="npz (compressed, default) | dir (memory-mapped directory, "
+             "O(0) load for multi-GB catalogs) | bin (legacy reference "
+             "songs_data.bin)",
+    )
+    sp.add_argument(
+        "--streaming", action="store_true",
+        help="bounded-RAM chunked ingest (implies --format dir)",
+    )
+    sp.add_argument("--chunk-rows", type=int, default=200_000)
 
     sr = sub.add_parser("recommend", help="top-N similar songs")
     g = sr.add_mutually_exclusive_group(required=True)
@@ -556,7 +587,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         parser.print_help()
         return 1
     if args.command == "preprocess":
-        return cmd_preprocess(args.csv, args.output)
+        return cmd_preprocess(
+            args.csv, args.output, fmt=args.fmt,
+            streaming=args.streaming, chunk_rows=args.chunk_rows,
+        )
     if args.command == "recommend":
         query = args.track_id if args.track_id else args.song
         return cmd_recommend(query, args.track_id is not None, args.n, args.catalog)

@@ -266,3 +266,33 @@ class TestEvaluateTwoTower:
         assert rc == 0
         out = capsys.readouterr().out
         assert "recall@5=" in out and "ndcg@5=" in out
+
+
+class TestPreprocessFormats:
+    def test_dir_format_then_recommend(self, workdir, songs_csv, capsys):
+        assert cli.main(
+            ["preprocess", str(songs_csv), "-o", "cat_dir", "--format", "dir"]
+        ) == 0
+        capsys.readouterr()
+        assert cli.main(
+            ["recommend", "--song", "Song 3", "-n", "2", "--catalog", "cat_dir"]
+        ) == 0
+        assert "Recommendation complete" in capsys.readouterr().out
+
+    def test_streaming_flag_implies_dir(self, workdir, songs_csv):
+        assert cli.main(
+            ["preprocess", str(songs_csv), "-o", "cat_s", "--streaming",
+             "--chunk-rows", "64"]
+        ) == 0
+        assert os.path.isdir("cat_s")
+
+    def test_bin_format_roundtrip(self, workdir, songs_csv, capsys):
+        assert cli.main(
+            ["preprocess", str(songs_csv), "-o", "songs_data.bin",
+             "--format", "bin"]
+        ) == 0
+        capsys.readouterr()
+        assert cli.main(
+            ["recommend", "--song", "Song 3", "-n", "2",
+             "--catalog", "songs_data.bin"]
+        ) == 0
