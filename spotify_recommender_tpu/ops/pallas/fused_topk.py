@@ -608,19 +608,20 @@ RERANK_ULP = np.float32(1e-6)
 
 
 def _scan_kernel(
-    q_ref,        # (TQ, 2F) bf16 split-plane queries
+    q_ref,        # (TQ, 2F|4F) bf16 split-plane queries
     qn_ref,       # (TQ, 1)  fp32 query norms
-    f_ref,        # (2F, TC) bf16 split-plane catalog tile
+    f_ref,        # (2F|4F, TC) bf16 split-plane catalog tile
     cn_ref,       # (1, TC)  fp32 catalog norms
     excl_ref,     # (TQ, 1)  excluded global row (-1 = none)
     valid_ref,    # (1, 1)   SMEM: number of valid catalog rows
-    ov_ref,       # (TQ, 3W) out: candidate approx scores (3 depth levels)
-    oi_ref,       # (TQ, 3W) out: candidate global indices
-    ob_ref,       # (TQ, W)  out: per-bin 4th-best value (coverage bound)
-    *,
+    ov_ref,       # out: candidate approx scores — (TQ, 3W), or (TQ, C)
+    oi_ref,       # out: candidate global indices — (TQ, 3W), or (TQ, C)
+    ob_ref,       # out: 4th-best coverage bound — (TQ, W), or (TQ, 1)
+    *scratch,     # compact mode: (TQ,3W) f32, (TQ,3W) i32, (TQ,W) f32
     tc: int,
     w: int,
     eps: float,
+    topc: int,
     interpret: bool,
 ):
     """Reduce catalog tiles to per-bin depth-3 candidates + 4th-best bound.
@@ -632,17 +633,31 @@ def _scan_kernel(
     the certificate's coverage bound.  Pure elementwise scan: no wide
     cross-lane reduction, no tournament loop, no staging (those dominated
     the round-1 kernel; see docs/PERFORMANCE.md round-2 ablation).
+
+    With `topc` > 0 the kernel ALSO extracts the top-`topc` candidates by
+    approx value on its last grid step (topc rounds of masked argmax over
+    the narrow (TQ, 3W) structure — executed once per query tile, ~free)
+    and emits compact (TQ, C) outputs plus the scalar coverage bound, so
+    the caller needs no XLA top_k over the 3W structure at all.  The
+    selection's value-ties break by structure slot (not global index) —
+    sound for the certificate, which only needs "non-candidates <= a_C".
     """
     cj = pl.program_id(1)
+    num_cj = pl.num_programs(1)
     tq = q_ref.shape[0]
     nw = w // 128
     g = tc // 128
 
+    if topc:
+        sv_ref, si_ref, sb_ref = scratch   # structures persist in scratch
+    else:
+        sv_ref, si_ref, sb_ref = ov_ref, oi_ref, ob_ref
+
     @pl.when(cj == 0)
     def _init():
-        ov_ref[:] = jnp.full(ov_ref.shape, NEG_INF, jnp.float32)
-        oi_ref[:] = jnp.full(oi_ref.shape, -1, jnp.int32)
-        ob_ref[:] = jnp.full(ob_ref.shape, NEG_INF, jnp.float32)
+        sv_ref[:] = jnp.full(sv_ref.shape, NEG_INF, jnp.float32)
+        si_ref[:] = jnp.full(si_ref.shape, -1, jnp.int32)
+        sb_ref[:] = jnp.full(sb_ref.shape, NEG_INF, jnp.float32)
 
     if interpret:
         # the TPU MXU multiplies bf16 pairs exactly and accumulates in
@@ -691,19 +706,19 @@ def _scan_kernel(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
     # running structures as VALUES within the tile (register-carried)
-    v1 = [ov_ref[:, ww * 128 : (ww + 1) * 128] for ww in range(nw)]
-    v2 = [ov_ref[:, (nw + ww) * 128 : (nw + ww + 1) * 128] for ww in range(nw)]
+    v1 = [sv_ref[:, ww * 128 : (ww + 1) * 128] for ww in range(nw)]
+    v2 = [sv_ref[:, (nw + ww) * 128 : (nw + ww + 1) * 128] for ww in range(nw)]
     v3 = [
-        ov_ref[:, (2 * nw + ww) * 128 : (2 * nw + ww + 1) * 128]
+        sv_ref[:, (2 * nw + ww) * 128 : (2 * nw + ww + 1) * 128]
         for ww in range(nw)
     ]
-    i1 = [oi_ref[:, ww * 128 : (ww + 1) * 128] for ww in range(nw)]
-    i2 = [oi_ref[:, (nw + ww) * 128 : (nw + ww + 1) * 128] for ww in range(nw)]
+    i1 = [si_ref[:, ww * 128 : (ww + 1) * 128] for ww in range(nw)]
+    i2 = [si_ref[:, (nw + ww) * 128 : (nw + ww + 1) * 128] for ww in range(nw)]
     i3 = [
-        oi_ref[:, (2 * nw + ww) * 128 : (2 * nw + ww + 1) * 128]
+        si_ref[:, (2 * nw + ww) * 128 : (2 * nw + ww + 1) * 128]
         for ww in range(nw)
     ]
-    v4 = [ob_ref[:, ww * 128 : (ww + 1) * 128] for ww in range(nw)]
+    v4 = [sb_ref[:, ww * 128 : (ww + 1) * 128] for ww in range(nw)]
 
     for gi in range(g):
         ww = gi % nw
@@ -727,28 +742,83 @@ def _scan_kernel(
         i1[ww] = jnp.where(c1, idx, i1[ww])
 
     for ww in range(nw):
-        ov_ref[:, ww * 128 : (ww + 1) * 128] = v1[ww]
-        ov_ref[:, (nw + ww) * 128 : (nw + ww + 1) * 128] = v2[ww]
-        ov_ref[:, (2 * nw + ww) * 128 : (2 * nw + ww + 1) * 128] = v3[ww]
-        oi_ref[:, ww * 128 : (ww + 1) * 128] = i1[ww]
-        oi_ref[:, (nw + ww) * 128 : (nw + ww + 1) * 128] = i2[ww]
-        oi_ref[:, (2 * nw + ww) * 128 : (2 * nw + ww + 1) * 128] = i3[ww]
-        ob_ref[:, ww * 128 : (ww + 1) * 128] = v4[ww]
+        sv_ref[:, ww * 128 : (ww + 1) * 128] = v1[ww]
+        sv_ref[:, (nw + ww) * 128 : (nw + ww + 1) * 128] = v2[ww]
+        sv_ref[:, (2 * nw + ww) * 128 : (2 * nw + ww + 1) * 128] = v3[ww]
+        si_ref[:, ww * 128 : (ww + 1) * 128] = i1[ww]
+        si_ref[:, (nw + ww) * 128 : (nw + ww + 1) * 128] = i2[ww]
+        si_ref[:, (2 * nw + ww) * 128 : (2 * nw + ww + 1) * 128] = i3[ww]
+        sb_ref[:, ww * 128 : (ww + 1) * 128] = v4[ww]
+
+    if topc:
+
+        @pl.when(cj == num_cj - 1)
+        def _extract():
+            vals = sv_ref[:]                                # (TQ, 3W)
+            idxs = si_ref[:]
+            slot = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+            posc = jax.lax.broadcasted_iota(jnp.int32, (tq, topc), 1)
+            out_v = jnp.full((tq, topc), NEG_INF, jnp.float32)
+            out_i = jnp.full((tq, topc), -1, jnp.int32)
+            run = vals
+            for r in range(topc):
+                m = jnp.max(run, axis=1)
+                am = jnp.min(
+                    jnp.where(run == m[:, None], slot, _BIG_I32), axis=1
+                )
+                onehot = slot == am[:, None]
+                gidx = jnp.max(jnp.where(onehot, idxs, -1), axis=1)
+                at = posc == r
+                out_v = jnp.where(at, m[:, None], out_v)
+                out_i = jnp.where(at, gidx[:, None], out_i)
+                run = jnp.where(onehot, NEG_INF, run)
+            ov_ref[:] = out_v
+            oi_ref[:] = out_i
+            ob_ref[:] = jnp.max(sb_ref[:], axis=1, keepdims=True)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tq", "tc", "w", "eps", "interpret")
+    jax.jit, static_argnames=("tq", "tc", "w", "eps", "topc", "interpret")
 )
 def _scan_call(
     queries_p, q_norms_p, features_t, norms_p, excl_p, valid,
-    *, tq: int, tc: int, w: int, eps: float, interpret: bool = False,
+    *, tq: int, tc: int, w: int, eps: float, topc: int = 0,
+    interpret: bool = False,
 ):
     bp, qw = queries_p.shape
     fr, np_ = features_t.shape
     grid = (bp // tq, np_ // tc)
     kernel = functools.partial(
-        _scan_kernel, tc=tc, w=w, eps=eps, interpret=interpret
+        _scan_kernel, tc=tc, w=w, eps=eps, topc=topc, interpret=interpret
     )
+    if topc:
+        out_specs = [
+            pl.BlockSpec((tq, topc), lambda qi, cj: (qi, 0)),
+            pl.BlockSpec((tq, topc), lambda qi, cj: (qi, 0)),
+            pl.BlockSpec((tq, 1), lambda qi, cj: (qi, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bp, topc), jnp.float32),
+            jax.ShapeDtypeStruct((bp, topc), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+        ]
+        scratch = [
+            pltpu.VMEM((tq, 3 * w), jnp.float32),
+            pltpu.VMEM((tq, 3 * w), jnp.int32),
+            pltpu.VMEM((tq, w), jnp.float32),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((tq, 3 * w), lambda qi, cj: (qi, 0)),
+            pl.BlockSpec((tq, 3 * w), lambda qi, cj: (qi, 0)),
+            pl.BlockSpec((tq, w), lambda qi, cj: (qi, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bp, 3 * w), jnp.float32),
+            jax.ShapeDtypeStruct((bp, 3 * w), jnp.int32),
+            jax.ShapeDtypeStruct((bp, w), jnp.float32),
+        ]
+        scratch = []
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -761,16 +831,9 @@ def _scan_call(
             pl.BlockSpec((1, 1), lambda qi, cj: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((tq, 3 * w), lambda qi, cj: (qi, 0)),
-            pl.BlockSpec((tq, 3 * w), lambda qi, cj: (qi, 0)),
-            pl.BlockSpec((tq, w), lambda qi, cj: (qi, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, 3 * w), jnp.float32),
-            jax.ShapeDtypeStruct((bp, 3 * w), jnp.int32),
-            jax.ShapeDtypeStruct((bp, w), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -836,13 +899,14 @@ def _certified_retrieve(
     excl_p = jnp.full((bp, 1), -1, jnp.int32).at[:b, 0].set(
         excl.astype(jnp.int32)
     )
-    cv, ci, cb = _scan_call(
+    # the kernel extracts the top-C candidates itself (masked-argmax
+    # rounds over the narrow structure at its last grid step) — no XLA
+    # top_k over the (B, 3W) structure needed
+    a_s, cand, cb = _scan_call(
         q2, qn, features_t2, norms_row, excl_p, valid,
-        tq=tq, tc=tc, w=w, eps=eps, interpret=interpret,
+        tq=tq, tc=tc, w=w, eps=eps, topc=c, interpret=interpret,
     )
-    cv, ci, cb = cv[:b], ci[:b], cb[:b]
-    a_s, pos = jax.lax.top_k(cv, c)
-    cand = jnp.take_along_axis(ci, pos, axis=1)             # (B, C)
+    a_s, cand, cb = a_s[:b], cand[:b], cb[:b]               # (B, C) x2, (B, 1)
     # ascending-index candidate order => lax.top_k's earlier-position tie
     # preference reproduces the reference's lowest-index rule
     order = jnp.argsort(jnp.where(cand < 0, _BIG_I32, cand), axis=1)
@@ -890,7 +954,7 @@ def _certified_retrieve(
     top_s = top_s1[:, :k]
     s_k = top_s[:, k - 1]
     a_c = a_s[:, c - 1]
-    v4max = jnp.max(cb, axis=1)
+    v4max = cb[:, 0]
     # coverage: every non-candidate's exact score provably < s_k
     ok = jnp.maximum(a_c, v4max) + jnp.float32(ceps) < s_k
     if nreal is not None:
