@@ -15,6 +15,13 @@ import sys
 
 
 def main() -> int:
+    import jax
+
+    # persistent compile cache: tunneled compiles run minutes; repeated
+    # driver/dev runs on the same host reuse them
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from spotify_recommender_tpu import benchmark
 
     result = benchmark.run_benchmark_suite()

@@ -201,7 +201,7 @@ def run_benchmark(
     return result
 
 
-def run_benchmark_suite(time_budget_s: float = 450.0) -> BenchResult:
+def run_benchmark_suite(time_budget_s: float = 300.0) -> BenchResult:
     """Driver-facing suite: headline 1M exact row plus the BASELINE's
     auxiliary configs (10M exact, 10M single-query, 64-dim
     learned-embedding serving, bf16 approximate tier) in the details.
@@ -214,17 +214,22 @@ def run_benchmark_suite(time_budget_s: float = 450.0) -> BenchResult:
         num_items=1_000_000, num_queries=1024, feature_dim=12, k=10,
         reps=3,
     )
+    # emit the headline IMMEDIATELY: if an auxiliary row's compile ever
+    # runs the process into an external timeout, the primary metric has
+    # already been printed (the driver parses the LAST JSON line, and the
+    # enriched line printed at the end supersedes this one)
+    print(to_json_line(headline), flush=True)
     extras = {}
 
-    def budget_left(tag: str) -> bool:
+    def budget_left(tag: str, limit: float = 0.0) -> bool:
         used = time.perf_counter() - t_start
-        if used > time_budget_s:
+        if used > (limit or time_budget_s):
             log.warning("bench budget used (%.0fs); skipping %s", used, tag)
             extras.setdefault("skipped_rows", []).append(tag)
             return False
         return True
 
-    if budget_left("10M"):
+    if budget_left("10M", 0.5 * time_budget_s):
         try:
             r10m = run_benchmark(
                 num_items=10_000_000, num_queries=1024, feature_dim=12,
@@ -237,7 +242,7 @@ def run_benchmark_suite(time_budget_s: float = 450.0) -> BenchResult:
             ]
         except Exception as e:  # pragma: no cover - bench resilience
             log.warning("10M bench failed: %s", e)
-    if budget_left("10M_B1"):
+    if budget_left("10M_B1", 0.75 * time_budget_s):
         try:
             rb1 = run_benchmark(
                 num_items=10_000_000, num_queries=1, feature_dim=12, k=10,
@@ -251,7 +256,7 @@ def run_benchmark_suite(time_budget_s: float = 450.0) -> BenchResult:
             ]
         except Exception as e:  # pragma: no cover
             log.warning("10M B=1 bench failed: %s", e)
-    if budget_left("64dim"):
+    if budget_left("64dim", 0.9 * time_budget_s):
         try:
             r64 = run_benchmark(
                 num_items=1_000_000, num_queries=1024, feature_dim=64,

@@ -1161,6 +1161,10 @@ class CertifiedRetriever:
         self.fallback_cap = max(
             1, min(32, 128_000_000 // max(1, n))
         )
+        # certificate margin: configurable LOOSER than the proven bound
+        # (more fallbacks, never unsound); attempts to go below the
+        # proven BF16X2_EPS are clamped
+        self._ceps = float(max(config.certify_eps, BF16X2_EPS))
         # sync_check=True (default): one scalar host check per call —
         # negligible on directly-attached TPUs, ~30 ms on tunneled dev
         # backends, where benchmarks pass sync_check=False and drain
@@ -1235,7 +1239,7 @@ class CertifiedRetriever:
             self._valid,
             jnp.int32(b),
             k=k, c=c, tq=tq, tc=tc, w=self.w,
-            eps=self.config.eps, ceps=float(BF16X2_EPS),
+            eps=self.config.eps, ceps=self._ceps,
             fallback_cap=cap,
             bitexact_rerank=jax.default_backend() == "tpu",
             interpret=self.interpret,
@@ -1269,7 +1273,7 @@ class CertifiedRetriever:
             k=k, c=min(max(self.config.prefilter, k), 3 * self.w),
             tq=min(self.config.query_tile, _round_up(queries.shape[0], 8)),
             tc=self.tc, w=self.w, eps=self.config.eps,
-            ceps=float(BF16X2_EPS), fallback_cap=0,
+            ceps=self._ceps, fallback_cap=0,
             bitexact_rerank=jax.default_backend() == "tpu",
             interpret=self.interpret,
         )
@@ -1319,7 +1323,7 @@ class CertifiedRetriever:
             q_in, self.features_t2, self.norms_row, self.features32,
             self.norms1d, e_in, self._valid, jnp.int32(b),
             k=k, c=c, tq=tq, tc=tc, w=self.w,
-            eps=self.config.eps, ceps=float(BF16X2_EPS),
+            eps=self.config.eps, ceps=self._ceps,
             fallback_cap=cap,
             bitexact_rerank=jax.default_backend() == "tpu",
             interpret=self.interpret,
