@@ -169,6 +169,28 @@ class RecommenderService:
             window_ms=coalesce_window_ms,
         )
 
+    def warmup(self, k: int = 10, max_batch: Optional[int] = None) -> float:
+        """Compile every coalescer batch-size bucket before traffic lands.
+
+        First-compile over a device (minutes on tunneled backends) would
+        otherwise be paid by the first unlucky requests of each batch
+        size; serve() calls this at startup.  Returns seconds spent."""
+        t0 = time.perf_counter()
+        feats = self.retriever.catalog.features
+        cap = min(max_batch or self.coalescer.max_batch, 256)
+        b = 8
+        while True:
+            q = np.asarray(feats[:1], np.float32).repeat(min(b, cap), axis=0)
+            self.retriever.retrieve_host(
+                q, k=k, exclude_rows=np.full(len(q), -1, np.int32)
+            )
+            if b >= cap:
+                break
+            b *= 2
+        dt = time.perf_counter() - t0
+        log.info("serve warmup: buckets up to %d compiled in %.1fs", cap, dt)
+        return dt
+
     def _retrieve_batch(self, queries, k, exclude_rows):
         # the retriever reference is re-read per call → hot reload swaps in
         return self.retriever.retrieve_host(
@@ -403,6 +425,7 @@ def make_server(
 def serve(catalog_path: str, host: str = "127.0.0.1", port: int = 8000) -> int:
     cat = _load_catalog(catalog_path)
     srv = make_server(cat, host, port)
+    srv.server_service.warmup()  # type: ignore[attr-defined]
     log.info("serving %d items on http://%s:%d", len(cat), host, port)
     try:
         srv.serve_forever()

@@ -257,3 +257,16 @@ class TestHardening:
         except urllib.error.HTTPError as e:
             code = e.code
         assert code == 400
+
+
+class TestWarmup:
+    def test_warmup_compiles_buckets(self, catalog):
+        svc = RecommenderService(catalog, RetrievalConfig(use_pallas=False))
+        try:
+            dt = svc.warmup(k=5, max_batch=32)
+            assert dt >= 0
+            # post-warmup requests still correct
+            out = svc.recommend("Song 9", by_id=False, k=3)
+            assert out["status"] == 200
+        finally:
+            svc.close()
