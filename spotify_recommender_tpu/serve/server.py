@@ -71,9 +71,14 @@ class BatchCoalescer:
         )
         self._thread.start()
 
-    def submit(self, query: np.ndarray, exclude_row: int, k: int):
+    def submit(
+        self, query: np.ndarray, exclude_row: int, k: int,
+        timeout_s: float = 300.0,
+    ):
         """Enqueue one query; blocks until its batch has run.
-        Returns (scores (k,), rows (k,)) or raises the batch's error."""
+        Returns (scores (k,), rows (k,)) or raises the batch's error.
+        A wedged device raises TimeoutError instead of hanging the HTTP
+        worker thread forever."""
         slot: dict = {}
         ev = threading.Event()
         with self._cv:
@@ -81,7 +86,10 @@ class BatchCoalescer:
                 raise RuntimeError("coalescer closed")
             self._pending.append((query, exclude_row, k, slot, ev))
             self._cv.notify()
-        ev.wait()
+        if not ev.wait(timeout=timeout_s):
+            raise TimeoutError(
+                f"retrieval batch did not complete within {timeout_s}s"
+            )
         if "error" in slot:
             raise slot["error"]
         return slot["scores"], slot["rows"]
