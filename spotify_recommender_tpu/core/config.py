@@ -119,6 +119,10 @@ class TwoTowerConfig:
     batch_size: int = 1024
     num_steps: int = 1000
     seed: int = 0
+    # "bfloat16" runs tower matmuls/activations in bf16 on the MXU while
+    # params, the L2-normalize epilogue, the loss, and optimizer state
+    # stay fp32 (standard TPU mixed precision); "float32" = full precision
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,16 +41,24 @@ log = get_logger(__name__)
 
 
 class Tower(nn.Module):
-    """MLP tower → L2-normalized embedding."""
+    """MLP tower → L2-normalized embedding.
+
+    `dtype` is the COMPUTE dtype (bf16 = single-pass MXU matmuls);
+    params always live in fp32 (flax param_dtype default) and the
+    normalize epilogue upcasts, so training stays numerically stable —
+    the canonical TPU mixed-precision recipe."""
 
     hidden_dims: Tuple[int, ...]
     embedding_dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
         for h in self.hidden_dims:
-            x = nn.relu(nn.Dense(h)(x))
-        x = nn.Dense(self.embedding_dim)(x)
+            x = nn.relu(nn.Dense(h, dtype=self.dtype)(x))
+        x = nn.Dense(self.embedding_dim, dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
         norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
         return x / jnp.maximum(norm, 1e-8)
 
@@ -60,8 +68,13 @@ class TwoTower(nn.Module):
 
     def setup(self) -> None:
         dims = tuple(self.config.hidden_dims)
-        self.query_tower = Tower(dims, self.config.embedding_dim)
-        self.item_tower = Tower(dims, self.config.embedding_dim)
+        dtype = (
+            jnp.bfloat16
+            if getattr(self.config, "compute_dtype", "float32") == "bfloat16"
+            else jnp.float32
+        )
+        self.query_tower = Tower(dims, self.config.embedding_dim, dtype)
+        self.item_tower = Tower(dims, self.config.embedding_dim, dtype)
 
     def __call__(self, q: jnp.ndarray, i: jnp.ndarray):
         return self.query_tower(q), self.item_tower(i)

@@ -231,3 +231,55 @@ class TestColistenPairs:
             two_tower.colisten_pair_fn(
                 inter, np.zeros((2, 12), np.float32), np.random.default_rng(0)
             )
+
+
+class TestMixedPrecision:
+    def test_bf16_compute_learns(self):
+        import numpy as np
+
+        from spotify_recommender_tpu.core.config import TwoTowerConfig
+        from spotify_recommender_tpu.models import two_tower
+
+        rng = np.random.default_rng(0)
+        feats = rng.random((300, 12)).astype(np.float32)
+        genres = rng.integers(0, 4, size=300).astype(np.int32)
+        cfg = TwoTowerConfig(
+            embedding_dim=16, hidden_dims=(32,), num_steps=60,
+            batch_size=64, compute_dtype="bfloat16",
+        )
+        res = two_tower.train(feats, genres, cfg)
+        assert res.losses[-1] < res.losses[0]
+        emb = two_tower.embed_catalog(res.params, feats, cfg)
+        assert emb.dtype == np.float32
+        assert np.isfinite(emb).all()
+        np.testing.assert_allclose(
+            np.linalg.norm(emb, axis=1), 1.0, rtol=1e-3
+        )
+        # params stay fp32 master weights
+        import jax
+
+        assert all(
+            p.dtype == np.float32
+            for p in jax.tree_util.tree_leaves(res.params)
+        )
+
+    def test_bf16_model_roundtrips_through_artifact(self, tmp_path):
+        import numpy as np
+
+        from spotify_recommender_tpu.core.config import TwoTowerConfig
+        from spotify_recommender_tpu.models import two_tower
+
+        rng = np.random.default_rng(1)
+        feats = rng.random((100, 12)).astype(np.float32)
+        genres = rng.integers(0, 3, size=100).astype(np.int32)
+        cfg = TwoTowerConfig(embedding_dim=8, hidden_dims=(16,),
+                             num_steps=5, batch_size=16,
+                             compute_dtype="bfloat16")
+        res = two_tower.train(feats, genres, cfg)
+        path = str(tmp_path / "tt_bf16.model")
+        two_tower.save_model(path, res.params, cfg)
+        params2, cfg2 = two_tower.load_model(path)
+        assert cfg2.compute_dtype == "bfloat16"
+        a = two_tower.embed_catalog(res.params, feats, cfg)
+        b = two_tower.embed_catalog(params2, feats, cfg2)
+        np.testing.assert_allclose(a, b, rtol=1e-5)
