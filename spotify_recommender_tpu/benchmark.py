@@ -83,8 +83,6 @@ def run_benchmark(
                 fr = FusedRetriever(feats, norms)
                 chosen = "pallas"
             elif backend == "bf16":
-                import dataclasses as _dc
-
                 from spotify_recommender_tpu.core.config import (
                     RetrievalConfig,
                 )

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spotify_recommender_tpu.core.config import COSINE_EPS, RetrievalConfig
+from spotify_recommender_tpu.core.config import RetrievalConfig
 from spotify_recommender_tpu.core.logging import get_logger
 from spotify_recommender_tpu.ops.similarity import (
     NEG_INF,
