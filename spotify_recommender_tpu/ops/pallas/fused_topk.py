@@ -982,7 +982,7 @@ def _certified_retrieve(
     # are gathered, rescored with the ORACLE's exact math (k masked
     # first-argmax passes = lax.top_k's lowest-index tie rule on
     # bit-identical cosine_scores values), and scattered back.
-    cap = fallback_cap
+    cap = min(fallback_cap, b)   # can't gather more rows than the batch
     iota_b = jnp.arange(b, dtype=jnp.int32)
     sel_val = jnp.where(~ok, -iota_b, jnp.int32(-(2**30)))
     vtop, _ = jax.lax.top_k(sel_val, cap)          # first cap failing rows

@@ -163,12 +163,78 @@ def _local_fused_topk(
     return merge_topk_deterministic(cand_s, cand_i, k)
 
 
+def _local_certified_topk(
+    queries: jnp.ndarray,       # (B, F) replicated
+    features_t2: jnp.ndarray,   # (planes*F, N_local) bf16 split planes
+    norms_row: jnp.ndarray,     # (1, N_local)
+    features32: jnp.ndarray,    # (N_local, F) fp32 rows (rerank/fallback)
+    norms1d: jnp.ndarray,       # (N_local,)
+    exclude_rows: jnp.ndarray,  # (B,) global row ids, -1 = none
+    valid_rows: jnp.ndarray,    # (1, 1) int32 global N
+    *,
+    k: int,
+    c: int,
+    tq: int,
+    tc: int,
+    w: int,
+    eps: float,
+    ceps: float,
+    cap: int,
+    bitexact: bool,
+    interpret: bool,
+    axis_name: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """shard_map body: the CERTIFIED tier per shard (scan -> in-kernel
+    top-C -> bitwise rerank -> certificate -> in-jit oracle fallback, all
+    local), then allgather + deterministic merge.  Each shard's local
+    top-k is exact, so the merged global top-k is exact; per-shard
+    fallback-capacity overflows are psum'd out for the (rare) host-side
+    redo through the oracle sharded path."""
+    from spotify_recommender_tpu.ops.pallas.fused_topk import (
+        _certified_retrieve,
+    )
+
+    shard = jax.lax.axis_index(axis_name)
+    n_local = features_t2.shape[1]
+    offset = (shard * n_local).astype(jnp.int32)
+    excl = exclude_rows.astype(jnp.int32)
+    excl_local = jnp.where(
+        (excl >= offset) & (excl < offset + n_local), excl - offset, -1
+    )
+    valid_local = jnp.clip(valid_rows - offset, 0, n_local).astype(jnp.int32)
+    k_local = min(k, n_local)
+    local_s, local_i, ok, overflow = _certified_retrieve(
+        queries,
+        features_t2,
+        norms_row,
+        features32,
+        norms1d,
+        excl_local,
+        valid_local,
+        jnp.int32(queries.shape[0]),
+        k=k_local, c=min(max(c, k_local), 3 * w), tq=tq, tc=tc, w=w,
+        eps=eps, ceps=ceps, fallback_cap=cap,
+        bitexact_rerank=bitexact, interpret=interpret,
+    )
+    cand_s = jax.lax.all_gather(local_s, axis_name, axis=1, tiled=True)
+    cand_i = jax.lax.all_gather(
+        offset + local_i.astype(jnp.int32), axis_name, axis=1, tiled=True
+    )
+    merged_s, merged_i = merge_topk_deterministic(cand_s, cand_i, k)
+    any_overflow = jax.lax.psum(overflow.astype(jnp.int32), axis_name)
+    nfail = jax.lax.psum(
+        jnp.sum((~ok).astype(jnp.int32)), axis_name
+    )
+    return merged_s, merged_i, any_overflow, nfail
+
+
 class ShardedCatalog:
     """Device-resident, row-sharded catalog features + norms.
 
-    ``use_pallas=True`` runs the fused kernel per shard (kernel-layout
-    transposed features, sharded along the item axis); otherwise the jnp
-    oracle scores inside shard_map.
+    Backends: ``use_certified=True`` runs the full certified-exact tier
+    per shard (production multi-chip path — same exactness proof as
+    single-chip); ``use_pallas=True`` runs the single-phase fused kernel
+    per shard; otherwise the jnp oracle scores inside shard_map.
     """
 
     def __init__(
@@ -179,22 +245,75 @@ class ShardedCatalog:
         axis_name: str = "catalog",
         eps: float = COSINE_EPS,
         use_pallas: bool = False,
+        use_certified: bool = False,
         query_tile: int = 512,
         catalog_tile: int = 8192,
         exact: bool = True,
         interpret: bool = False,
+        prefilter: int = 32,
     ) -> None:
         self.mesh = mesh
         self.axis_name = axis_name
         self.eps = eps
         self.use_pallas = use_pallas
+        self.use_certified = use_certified
         self.exact = exact
         self.interpret = interpret
+        self.prefilter = prefilter
         self.num_items = features.shape[0]
         n_shards = mesh.shape[axis_name]
         feats = np.asarray(features, np.float32)
         nrm_1d = np.asarray(norms, np.float32)
-        if use_pallas:
+        if use_certified:
+            import math
+
+            from jax.experimental import pallas  # noqa: F401 (backend check)
+
+            f = feats.shape[1]
+            self.tq = query_tile
+            tc = min(catalog_tile, 128 * max(1, -(-self.num_items // (128 * n_shards))))
+            # per-shard slice must tile by tc AND by the in-jit fallback's
+            # 512-column blocks
+            unit = math.lcm(tc, 512)
+            chunk = n_shards * unit
+            np_pad = -(-self.num_items // chunk) * chunk
+            self.tc = tc
+            nw = 2 if (tc // 128) % 2 == 0 else 1
+            self.w = 128 * nw
+            unitv = feats / np.maximum(nrm_1d, 1e-30)[:, None]
+            hi = unitv.astype(np.dtype(jnp.bfloat16))
+            lo = (unitv - hi.astype(np.float32)).astype(np.dtype(jnp.bfloat16))
+            hi32 = hi.astype(np.float32).T
+            lo32 = lo.astype(np.float32).T
+            planes = 4 if 4 * f <= 128 else 2
+            ft = np.zeros((planes * f, np_pad), np.float32)
+            ft[:f, : self.num_items] = hi32
+            ft[f : 2 * f, : self.num_items] = lo32
+            if planes == 4:
+                ft[2 * f : 3 * f, : self.num_items] = hi32
+                ft[3 * f :, : self.num_items] = lo32
+            nrm = np.zeros((1, np_pad), np.float32)
+            nrm[0, : self.num_items] = nrm_1d
+            f32p = np.zeros((np_pad, f), np.float32)
+            f32p[: self.num_items] = feats
+            n1p = np.zeros(np_pad, np.float32)
+            n1p[: self.num_items] = nrm_1d
+            self.features = jax.device_put(
+                jnp.asarray(ft, jnp.bfloat16),
+                NamedSharding(mesh, P(None, axis_name)),
+            )
+            self.norms = jax.device_put(
+                nrm, NamedSharding(mesh, P(None, axis_name))
+            )
+            self.features32 = jax.device_put(
+                f32p, NamedSharding(mesh, P(axis_name, None))
+            )
+            self.norms1d = jax.device_put(
+                n1p, NamedSharding(mesh, P(axis_name))
+            )
+            self.n_local = np_pad // n_shards
+            self.cap = max(1, min(32, 128_000_000 // max(1, self.n_local)))
+        elif use_pallas:
             # per-shard kernel layout: (F, Np) with Np a multiple of
             # n_shards * tc so every shard's slice tiles evenly
             self.tc = min(catalog_tile, 128 * max(1, -(-self.num_items // (128 * n_shards))))
@@ -228,7 +347,8 @@ class ShardedCatalog:
             self.num_items,
             n_shards,
             axis_name,
-            "pallas" if use_pallas else "xla",
+            "certified" if use_certified
+            else ("pallas" if use_pallas else "xla"),
         )
 
     def retrieve(
@@ -240,6 +360,69 @@ class ShardedCatalog:
         b = queries.shape[0]
         if exclude_rows is None:
             exclude_rows = jnp.full((b,), -1, jnp.int32)
+        if self.use_certified:
+            from spotify_recommender_tpu.ops.pallas.fused_topk import (
+                BF16X2_EPS,
+            )
+
+            body = partial(
+                _local_certified_topk,
+                k=k,
+                c=self.prefilter,
+                tq=min(self.tq, -(-b // 8) * 8),
+                tc=self.tc,
+                w=self.w,
+                eps=self.eps,
+                ceps=float(BF16X2_EPS),
+                cap=self.cap,
+                bitexact=jax.default_backend() == "tpu",
+                interpret=self.interpret,
+                axis_name=self.axis_name,
+            )
+            fn = jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(
+                    P(),                       # queries replicated
+                    P(None, self.axis_name),   # bf16x2 planes col-sharded
+                    P(None, self.axis_name),   # norms row col-sharded
+                    P(self.axis_name, None),   # fp32 rows row-sharded
+                    P(self.axis_name),         # norms1d row-sharded
+                    P(),                       # exclusions replicated
+                    P(),                       # valid count replicated
+                ),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False,
+            )
+            s, i, overflow, nfail = fn(
+                jnp.atleast_2d(jnp.asarray(queries, jnp.float32)),
+                self.features,
+                self.norms,
+                self.features32,
+                self.norms1d,
+                exclude_rows,
+                jnp.full((1, 1), self.num_items, jnp.int32),
+            )
+            overflow_h, nfail_h = jax.device_get(
+                (overflow.reshape(-1)[0], nfail.reshape(-1)[0])
+            )
+            self.fallbacks = getattr(self, "fallbacks", 0) + int(nfail_h)
+            if int(overflow_h):
+                # a shard overflowed its in-jit fallback capacity (>cap
+                # provably-ambiguous queries at once): redo the whole
+                # batch through the oracle sharded path — always exact
+                log.info("sharded certified overflow; oracle redo")
+                return sharded_topk_retrieve(
+                    jnp.atleast_2d(jnp.asarray(queries, jnp.float32)),
+                    *self._oracle_buffers(),
+                    exclude_rows,
+                    self._valid,
+                    k=k,
+                    mesh=self.mesh,
+                    axis_name=self.axis_name,
+                    eps=self.eps,
+                )
+            return s, i
         if self.use_pallas:
             body = partial(
                 _local_fused_topk,
@@ -282,3 +465,8 @@ class ShardedCatalog:
             axis_name=self.axis_name,
             eps=self.eps,
         )
+
+    def _oracle_buffers(self):
+        """Row-major fp32 shards for the oracle path (certified backend
+        keeps them resident for reranks/fallbacks anyway)."""
+        return self.features32, self.norms1d

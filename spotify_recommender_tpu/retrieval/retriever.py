@@ -66,18 +66,26 @@ class Retriever:
         if mesh is not None and mesh.shape.get("catalog", 1) > 1:
             from spotify_recommender_tpu.parallel.sharding import ShardedCatalog
 
+            on_tpu = jax.default_backend() == "tpu"
             self._sharded = ShardedCatalog(
                 catalog.features,
                 catalog.norms,
                 mesh,
                 eps=self.config.eps,
-                # fused kernel per shard on TPU; jnp oracle elsewhere
-                use_pallas=(
-                    self.config.use_pallas and jax.default_backend() == "tpu"
+                # certified tier per shard on TPU (production multi-chip
+                # path); single-phase fused kernel for non-default dtype
+                # tiers; jnp oracle elsewhere
+                use_certified=(
+                    self.config.use_pallas
+                    and on_tpu
+                    and self.config.exact_scores
+                    and self.config.dtype == "float32"
                 ),
+                use_pallas=self.config.use_pallas and on_tpu,
                 query_tile=self.config.query_tile,
                 catalog_tile=self.config.catalog_tile,
                 exact=self.config.exact_scores,
+                prefilter=self.config.prefilter,
             )
             self._features = self._sharded.features
             self._norms = self._sharded.norms

@@ -131,3 +131,56 @@ class TestShardedPallas:
         g_s, g_r = exact_topk(queries, jnp.asarray(feats), jnp.asarray(norms), k=20)
         np.testing.assert_array_equal(np.asarray(s_r), np.asarray(g_r))
         assert np.asarray(s_r).max() < 777
+
+
+class TestCertifiedSharded:
+    """The certified tier per shard (production multi-chip path): local
+    certificates + deterministic merge must equal the oracle exactly."""
+
+    def test_matches_oracle_sharded(self, rng):
+        import jax.numpy as jnp
+
+        from spotify_recommender_tpu.core.config import MeshConfig
+        from spotify_recommender_tpu.core.mesh import make_mesh
+        from spotify_recommender_tpu.ops.similarity import exact_topk
+        from spotify_recommender_tpu.parallel.sharding import ShardedCatalog
+
+        n = 20_000 + 19
+        feats = rng.random((n, 12), dtype=np.float32)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        mesh = make_mesh(MeshConfig(data=1, catalog=8))
+        sc = ShardedCatalog(
+            feats, norms, mesh, use_certified=True, interpret=True
+        )
+        rows = rng.integers(0, n, 16).astype(np.int32)
+        q = feats[rows]
+        s, i = sc.retrieve(jnp.asarray(q), 10, jnp.asarray(rows))
+        rs, ri = exact_topk(
+            jnp.asarray(q), jnp.asarray(feats), jnp.asarray(norms),
+            exclude_rows=jnp.asarray(rows), k=10,
+        )
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(rs), rtol=0, atol=1e-6
+        )
+
+    def test_layout_invariance(self, rng):
+        import jax.numpy as jnp
+
+        from spotify_recommender_tpu.core.config import MeshConfig
+        from spotify_recommender_tpu.core.mesh import make_mesh
+        from spotify_recommender_tpu.parallel.sharding import ShardedCatalog
+
+        n = 6000
+        feats = rng.random((n, 12), dtype=np.float32)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        q = feats[:8]
+        outs = []
+        for shards in (2, 8):
+            mesh = make_mesh(MeshConfig(data=1, catalog=shards))
+            sc = ShardedCatalog(
+                feats, norms, mesh, use_certified=True, interpret=True
+            )
+            _, i = sc.retrieve(jnp.asarray(q), 7)
+            outs.append(np.asarray(i))
+        np.testing.assert_array_equal(outs[0], outs[1])
