@@ -61,9 +61,11 @@ class RetrievalConfig:
 
     top_k: int = 10
     # Pallas kernel tiling; catalog tile rides the HBM-streamed axis.
-    # Defaults tuned on v5e (1M items, 1k queries): 512x8192 -> 60k qps
-    # exact, ~4.8x the XLA materialize-and-top_k path.
-    query_tile: int = 512
+    # Defaults tuned on v5e (1M items, 1k queries, round 2): 256x8192 —
+    # the smaller query tile halves the live score/structure footprint
+    # and measured consistently >= the 512 tile (7.5 vs 11.5 ms best
+    # samples at B=1024/1M through the certified tier).
+    query_tile: int = 256
     catalog_tile: int = 8192
     # guard used when normalizing by the product of norms
     eps: float = COSINE_EPS
