@@ -49,6 +49,7 @@ def main():
     num_users = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     num_items = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     per_user = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    subspace = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     t0 = time.perf_counter()
     user, item, count = make_clustered(num_users, num_items, per_user)
@@ -75,17 +76,20 @@ def main():
           f"{time.perf_counter()-t0:.1f}s", flush=True)
 
     ckpt = tempfile.mkdtemp(prefix="als1m_")
+    tag = f"iALS++ subspace={subspace}" if subspace else "full ALS"
     cfg2 = MFConfig(embedding_dim=64, num_iterations=2, reg=0.05, alpha=10.0)
     t0 = time.perf_counter()
-    mf.train_als(train, cfg2, item_view=item_view, checkpoint_dir=ckpt)
+    mf.train_als(train, cfg2, item_view=item_view, checkpoint_dir=ckpt,
+                 subspace=subspace)
     t2 = time.perf_counter() - t0
-    print(f"2 ALS iterations: {t2:.1f}s ({t2/2:.1f}s/iter)", flush=True)
+    print(f"2 {tag} iterations: {t2:.1f}s ({t2/2:.1f}s/iter)", flush=True)
 
     # RESUME: one more iteration picks up from the checkpoint
     cfg3 = MFConfig(embedding_dim=64, num_iterations=3, reg=0.05, alpha=10.0)
     t0 = time.perf_counter()
     users_f, items_f = mf.train_als(
-        train, cfg3, item_view=item_view, checkpoint_dir=ckpt
+        train, cfg3, item_view=item_view, checkpoint_dir=ckpt,
+        subspace=subspace,
     )
     print(f"resumed iteration 3: {time.perf_counter()-t0:.1f}s", flush=True)
     assert np.isfinite(users_f).all() and np.isfinite(items_f).all()
