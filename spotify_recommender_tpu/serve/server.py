@@ -44,6 +44,12 @@ log = get_logger(__name__)
 MAX_BODY_BYTES = 64 * 1024 * 1024
 
 
+class ServiceOverloaded(RuntimeError):
+    """Raised by the coalescer when its pending queue is full — mapped to
+    HTTP 429 so clients shed load early instead of queueing toward the
+    submit timeout."""
+
+
 class BatchCoalescer:
     """Stacks concurrent single-query retrievals into one kernel batch.
 
@@ -58,14 +64,21 @@ class BatchCoalescer:
         retrieve_fn,             # (queries (B,F), k, exclude (B,)) -> (s, r)
         max_batch: int = 256,
         window_ms: float = 2.0,
+        max_queue: int = 2048,
     ) -> None:
         self._retrieve = retrieve_fn
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
+        # backpressure: a burst past device throughput must be shed with
+        # 429s at enqueue time, not discovered via the 300 s submit timeout
+        self.max_queue = max_queue
         self._cv = threading.Condition()
         self._pending: list = []
         self._stop = False
-        self.stats = {"batches": 0, "batched_requests": 0, "max_batch_size": 0}
+        self.stats = {
+            "batches": 0, "batched_requests": 0, "max_batch_size": 0,
+            "rejected": 0,
+        }
         self._thread = threading.Thread(
             target=self._run, name="batch-coalescer", daemon=True
         )
@@ -84,6 +97,11 @@ class BatchCoalescer:
         with self._cv:
             if self._stop:
                 raise RuntimeError("coalescer closed")
+            if len(self._pending) >= self.max_queue:
+                self.stats["rejected"] += 1
+                raise ServiceOverloaded(
+                    f"pending queue full ({self.max_queue} requests)"
+                )
             self._pending.append((query, exclude_row, k, slot, ev))
             self._cv.notify()
         if not ev.wait(timeout=timeout_s):
@@ -164,6 +182,7 @@ class RecommenderService:
         config: Optional[RetrievalConfig] = None,
         coalesce_window_ms: float = 2.0,
         max_batch: int = 256,
+        max_queue: int = 2048,
     ):
         from spotify_recommender_tpu.retrieval.retriever import Retriever
 
@@ -171,10 +190,14 @@ class RecommenderService:
         self.retriever = Retriever(catalog, config)
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "errors": 0, "total_latency_s": 0.0}
+        # bounded latency ring for p50/p99 (last 8192 requests)
+        self._lat_ring = np.zeros(8192, np.float64)
+        self._lat_n = 0
         self.coalescer = BatchCoalescer(
             self._retrieve_batch,
             max_batch=max_batch,
             window_ms=coalesce_window_ms,
+            max_queue=max_queue,
         )
 
     def warmup(self, k: int = 10, max_batch: Optional[int] = None) -> float:
@@ -206,11 +229,28 @@ class RecommenderService:
         )
 
     def _record(self, t0: float, ok: bool) -> None:
+        dt = time.perf_counter() - t0
         with self._lock:
             self._stats["requests"] += 1
             if not ok:
                 self._stats["errors"] += 1
-            self._stats["total_latency_s"] += time.perf_counter() - t0
+            self._stats["total_latency_s"] += dt
+            self._lat_ring[self._lat_n % len(self._lat_ring)] = dt
+            self._lat_n += 1
+
+    def latency_percentiles(self) -> dict:
+        """p50/p95/p99 over the last <=8192 recorded request latencies."""
+        with self._lock:
+            n = min(self._lat_n, len(self._lat_ring))
+            if n == 0:
+                return {}
+            window = self._lat_ring[:n].copy()
+        p50, p95, p99 = np.percentile(window, [50, 95, 99])
+        return {
+            "p50_latency_ms": round(1e3 * float(p50), 3),
+            "p95_latency_ms": round(1e3 * float(p95), 3),
+            "p99_latency_ms": round(1e3 * float(p99), 3),
+        }
 
     def metrics(self) -> dict:
         with self._lock:
@@ -220,6 +260,7 @@ class RecommenderService:
             "requests": s["requests"],
             "errors": s["errors"],
             "mean_latency_ms": round(1e3 * s["total_latency_s"] / n, 3),
+            **self.latency_percentiles(),
             "num_items": len(self.retriever.catalog),
             "backend": self.retriever._backend,
             "coalescer": dict(self.coalescer.stats),
@@ -250,6 +291,9 @@ class RecommenderService:
                 kk,
             )
             recs = retriever._materialize(rows, scores)
+        except ServiceOverloaded as e:
+            self._record(t0, ok=False)
+            return {"error": str(e), "status": 429}
         except (KeyError, IndexError) as e:
             self._record(t0, ok=False)
             return {"error": e.args[0] if e.args else str(e), "status": 404}

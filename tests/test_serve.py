@@ -270,3 +270,66 @@ class TestWarmup:
             assert out["status"] == 200
         finally:
             svc.close()
+
+
+class TestBackpressure:
+    def test_queue_overflow_returns_429(self, catalog):
+        """A burst past the coalescer's queue cap must be shed with 429 at
+        enqueue time, not discovered via the submit timeout (VERDICT r2:
+        unbounded coalescer queue)."""
+        from spotify_recommender_tpu.serve.server import ServiceOverloaded
+
+        svc = RecommenderService(
+            catalog, RetrievalConfig(use_pallas=False),
+            coalesce_window_ms=200.0, max_queue=2,
+        )
+        try:
+            q = np.asarray(catalog.features[0], np.float32)
+            # stall the dispatcher inside its window, then overfill
+            results = []
+
+            def worker():
+                try:
+                    svc.coalescer.submit(q, 0, 2, timeout_s=10)
+                    results.append(200)
+                except ServiceOverloaded:
+                    results.append(429)
+
+            threads = [threading.Thread(target=worker) for _ in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert results.count(429) >= 1, results
+            assert results.count(200) >= 2, results
+            assert svc.coalescer.stats["rejected"] >= 1
+            # the service maps the overload to HTTP 429
+            # (force it via a full queue)
+        finally:
+            svc.close()
+
+    def test_latency_percentiles_in_metrics(self, catalog):
+        svc = RecommenderService(catalog, RetrievalConfig(use_pallas=False))
+        try:
+            for _ in range(5):
+                svc.recommend("Song 1", by_id=False, k=2)
+            m = svc.metrics()
+            assert m["p50_latency_ms"] > 0
+            assert m["p99_latency_ms"] >= m["p50_latency_ms"]
+            assert m["p95_latency_ms"] >= m["p50_latency_ms"]
+        finally:
+            svc.close()
+
+    def test_recommend_maps_overload_to_429(self, catalog, monkeypatch):
+        svc = RecommenderService(catalog, RetrievalConfig(use_pallas=False))
+        try:
+            from spotify_recommender_tpu.serve import server as srv_mod
+
+            def boom(*a, **kw):
+                raise srv_mod.ServiceOverloaded("pending queue full")
+
+            monkeypatch.setattr(svc.coalescer, "submit", boom)
+            out = svc.recommend("Song 1", by_id=False, k=2)
+            assert out["status"] == 429
+        finally:
+            svc.close()
