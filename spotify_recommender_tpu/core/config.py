@@ -86,6 +86,15 @@ class RetrievalConfig:
     # CertifiedRetriever: candidates kept by the bf16x2 prefilter before
     # the exact fp32 rerank; larger = fewer certificate fallbacks.
     prefilter: int = 32
+    # Certified scan kernel: "v3" = epilogue-free bin scan (raw unit-dot
+    # approx scores, exclusion/padding handled at the rerank — ~2.3x the
+    # v2 throughput at 10M items, round-3 ablation); "v2" = round-2
+    # kernel with the in-scan cosine epilogue.
+    scan: str = "v3"
+    # v3 bin depth: each bin keeps its top-`scan_depth` candidates plus a
+    # (depth+1)-th-best coverage bound.  2 makes a coverage failure (>2 of
+    # the true top-k in one bin) a ~1e-4/query event at k=10, W=1024.
+    scan_depth: int = 2
     # bf16x2 catalog layout: 4 planes [hi,lo,hi,lo] = ONE MXU dot pass
     # (fastest for batched serving, 96 B/item); 2 planes [hi,lo] = TWO
     # dot passes but half the bytes — better for the HBM-stream-bound

@@ -842,11 +842,211 @@ def _scan_call(
     )(queries_p, q_norms_p, features_t, norms_p, excl_p, valid)
 
 
+def _scan_kernel_v3(
+    q_ref,        # (TQ, P*F) bf16 split-plane UNIT queries
+    f_ref,        # (P*F, TC) bf16 split-plane prenormalized catalog tile
+    ov_ref,       # out (TQ, topc) candidate approx scores
+    oi_ref,       # out (TQ, topc) candidate global indices
+    ob_ref,       # out (TQ, 1)   coverage bound (best (depth+1)-th per bin)
+    sv_ref,       # scratch (TQ, depth*W) f32 bin values
+    si_ref,       # scratch (TQ, depth*W) i32 bin indices
+    sb_ref,       # scratch (TQ, W) f32 per-bin (depth+1)-th-best bound
+    *,
+    tc: int,
+    w: int,
+    depth: int,
+    topc: int,
+    interpret: bool,
+):
+    """Epilogue-free bin scan (v3): raw split-plane dots ARE the approx
+    scores.
+
+    The round-2 kernel spent more VPU time on the cosine epilogue +
+    masking than on the bin structure itself (round-3 ablation,
+    experiments/kernel_r3.py: depth-3 + epilogue 64.8 ms vs a bare
+    depth-1 scan 24.0 ms at 10M/B=1024 against an 18.5 ms MXU floor).
+    v3 removes every per-element epilogue op by construction:
+
+    - catalog rows and queries are unit vectors, so the MXU dot IS the
+      cosine (no denominator, no guard, no clamp in the hot loop) —
+      zero-norm rows/queries are stored as zeros and score exactly 0,
+      reproducing the reference guard (Recommender.cu:67-72) at the
+      exact-rerank stage;
+    - no self-exclusion mask: the query's own row simply becomes a
+      candidate and is excluded during the exact rerank;
+    - no padding mask: pad columns are zero vectors scoring 0; the
+      rerank masks candidate indices >= valid instead.  (Pad items can
+      displace real candidates only when real scores are <= 0 en masse —
+      then the certificate fails and the oracle fallback serves truth.)
+
+    `depth` is configurable: each of the W bins keeps its top-`depth`
+    (values + indices, lowest-index tie rule via strict >) plus the value
+    of its (depth+1)-th best.  depth=2 @ W=1024 makes a top-10 coverage
+    failure (>2 of the true top-k hashing to one bin) a ~1e-4 per-query
+    event vs ~9% for depth=1 @ 512 — the measured VPU cost is ~11
+    elementwise ops per 128 items vs depth-3's 15 plus ~6 of epilogue.
+    """
+    cj = pl.program_id(1)
+    num_cj = pl.num_programs(1)
+    tq = q_ref.shape[0]
+    nw = w // 128
+    g = tc // 128
+
+    @pl.when(cj == 0)
+    def _init():
+        sv_ref[:] = jnp.full(sv_ref.shape, NEG_INF, jnp.float32)
+        si_ref[:] = jnp.full(si_ref.shape, -1, jnp.int32)
+        sb_ref[:] = jnp.full(sb_ref.shape, NEG_INF, jnp.float32)
+
+    if interpret:
+        # emulate MXU semantics (bf16 multiplies, fp32 accumulate) on CPU
+        qv = q_ref[:].astype(jnp.float32)
+        fv = f_ref[:].astype(jnp.float32)
+    else:
+        qv = q_ref[:]
+        fv = f_ref[:]
+    if qv.shape[1] == fv.shape[0]:
+        dots = jax.lax.dot_general(
+            qv, fv,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )                                                   # (TQ, TC) fp32
+    else:
+        f2 = fv.shape[0]
+        dots = jax.lax.dot_general(
+            qv[:, :f2], fv,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        ) + jax.lax.dot_general(
+            qv[:, f2:], fv,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
+    # register-carried bin structures (value-level, written back once)
+    v = [
+        [sv_ref[:, (lv * nw + ww) * 128:(lv * nw + ww + 1) * 128]
+         for ww in range(nw)]
+        for lv in range(depth)
+    ]
+    iv = [
+        [si_ref[:, (lv * nw + ww) * 128:(lv * nw + ww + 1) * 128]
+         for ww in range(nw)]
+        for lv in range(depth)
+    ]
+    bnd = [sb_ref[:, ww * 128:(ww + 1) * 128] for ww in range(nw)]
+
+    for gi in range(g):
+        ww = gi % nw
+        s = jax.lax.slice(dots, (0, gi * 128), (tq, (gi + 1) * 128))
+        idx = cj * tc + gi * 128 + lane
+        # strict > keeps the earlier (lower-index) item at each level —
+        # the reference heap's lowest-index tie rule (Recommender.cu:300)
+        c = [s > v[lv][ww] for lv in range(depth)]
+        # evicted-past-depth value is min(s, v[depth-1]) (s when it lands
+        # below, the old deepest when s inserts anywhere above)
+        bnd[ww] = jnp.maximum(bnd[ww], jnp.minimum(s, v[depth - 1][ww]))
+        for lv in range(depth - 1, 0, -1):
+            v[lv][ww] = jnp.where(
+                c[lv - 1], v[lv - 1][ww], jnp.where(c[lv], s, v[lv][ww])
+            )
+            iv[lv][ww] = jnp.where(
+                c[lv - 1], iv[lv - 1][ww], jnp.where(c[lv], idx, iv[lv][ww])
+            )
+        v[0][ww] = jnp.where(c[0], s, v[0][ww])
+        iv[0][ww] = jnp.where(c[0], idx, iv[0][ww])
+
+    for lv in range(depth):
+        for ww in range(nw):
+            sv_ref[:, (lv * nw + ww) * 128:(lv * nw + ww + 1) * 128] = (
+                v[lv][ww]
+            )
+            si_ref[:, (lv * nw + ww) * 128:(lv * nw + ww + 1) * 128] = (
+                iv[lv][ww]
+            )
+    for ww in range(nw):
+        sb_ref[:, ww * 128:(ww + 1) * 128] = bnd[ww]
+
+    @pl.when(cj == num_cj - 1)
+    def _extract():
+        vals = sv_ref[:]                                # (TQ, depth*W)
+        idxs = si_ref[:]
+        slot = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+        posc = jax.lax.broadcasted_iota(jnp.int32, (tq, topc), 1)
+        out_v = jnp.full((tq, topc), NEG_INF, jnp.float32)
+        out_i = jnp.full((tq, topc), -1, jnp.int32)
+        run = vals
+        for r in range(topc):
+            m = jnp.max(run, axis=1)
+            am = jnp.min(
+                jnp.where(run == m[:, None], slot, _BIG_I32), axis=1
+            )
+            onehot = slot == am[:, None]
+            gidx = jnp.max(jnp.where(onehot, idxs, -1), axis=1)
+            at = posc == r
+            out_v = jnp.where(at, m[:, None], out_v)
+            out_i = jnp.where(at, gidx[:, None], out_i)
+            run = jnp.where(onehot, NEG_INF, run)
+        ov_ref[:] = out_v
+        oi_ref[:] = out_i
+        ob_ref[:] = jnp.max(sb_ref[:], axis=1, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tq", "tc", "w", "depth", "topc", "interpret")
+)
+def _scan_call_v3(
+    queries_p,       # (Bp, P*F) bf16 split-plane unit queries
+    features_t,      # (P*F, Np) bf16 split-plane prenormalized catalog
+    *, tq: int, tc: int, w: int, depth: int, topc: int,
+    interpret: bool = False,
+):
+    bp, qw = queries_p.shape
+    fr, np_ = features_t.shape
+    grid = (bp // tq, np_ // tc)
+    kernel = functools.partial(
+        _scan_kernel_v3, tc=tc, w=w, depth=depth, topc=topc,
+        interpret=interpret,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, qw), lambda qi, cj: (qi, 0)),
+            pl.BlockSpec((fr, tc), lambda qi, cj: (0, cj)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, topc), lambda qi, cj: (qi, 0)),
+            pl.BlockSpec((tq, topc), lambda qi, cj: (qi, 0)),
+            pl.BlockSpec((tq, 1), lambda qi, cj: (qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, topc), jnp.float32),
+            jax.ShapeDtypeStruct((bp, topc), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tq, depth * w), jnp.float32),
+            pltpu.VMEM((tq, depth * w), jnp.int32),
+            pltpu.VMEM((tq, w), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(queries_p, features_t)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "k", "c", "tq", "tc", "w", "eps", "ceps", "fallback_cap",
-        "bitexact_rerank", "interpret",
+        "bitexact_rerank", "interpret", "scan", "depth",
     ),
 )
 def _certified_retrieve(
@@ -870,21 +1070,32 @@ def _certified_retrieve(
     fallback_cap: int = 0,
     bitexact_rerank: bool = False,
     interpret: bool = False,
+    scan: str = "v2",
+    depth: int = 3,
 ):
     """One-dispatch certified retrieval (the device never syncs mid-way:
     every extra chained dispatch costs a full tunnel round-trip).
 
-    scan kernel -> approx top-C of the 3W bin candidates -> sort-by-index
+    scan kernel -> approx top-C of the bin candidates -> sort-by-index
     -> exact fp32 rerank (reference math) -> per-query certificate:
 
-        max(a_C, v4max) + ceps < s_k
+        max(a_C, vBmax) + ceps < s_k
           a_C:   C-th best approx (bounds items dropped by truncation)
-          v4max: best 4th-per-bin value (bounds items dropped by bins)
+          vBmax: best (depth+1)-th-per-bin value (bounds items dropped
+                 by bins; depth=3 for the v2 scan, configurable for v3)
           s_k:   k-th best EXACT score among the reranked candidates
 
     If it holds, every non-candidate's exact score < s_k, so the exact
     top-k is inside the candidate set and the reranked result is exactly
     the reference's (scores bit-equal: same fp32 HIGHEST dot + epilogue).
+
+    scan="v3" uses the epilogue-free kernel (_scan_kernel_v3): the scan
+    sees no exclusion/padding masks, so this function additionally masks
+    excluded and padded candidate indices before the top-k.  Soundness is
+    unchanged: the scan's raw-dot approx scores still upper-bound every
+    non-candidate's exact score within ceps (the exact epilogue only
+    LOWERS scores: the guard zeroes them, the clamp shrinks them, and
+    prenormalized zero rows already dot to 0).
     """
     b, f = queries.shape
     bp = _round_up(b, tq)
@@ -896,16 +1107,22 @@ def _certified_retrieve(
     # [qh,ql | ql,qh]: dot([qh,ql],[hi;lo]) + dot([ql,qh],[hi;lo]) =
     # qh·hi + ql·lo + ql·hi + qh·lo = (qh+ql)·(hi+lo)
     q2 = jnp.concatenate([qh, ql, ql, qh], axis=1)
-    excl_p = jnp.full((bp, 1), -1, jnp.int32).at[:b, 0].set(
-        excl.astype(jnp.int32)
-    )
     # the kernel extracts the top-C candidates itself (masked-argmax
     # rounds over the narrow structure at its last grid step) — no XLA
-    # top_k over the (B, 3W) structure needed
-    a_s, cand, cb = _scan_call(
-        q2, qn, features_t2, norms_row, excl_p, valid,
-        tq=tq, tc=tc, w=w, eps=eps, topc=c, interpret=interpret,
-    )
+    # top_k over the bin structure needed
+    if scan == "v3":
+        a_s, cand, cb = _scan_call_v3(
+            q2, features_t2,
+            tq=tq, tc=tc, w=w, depth=depth, topc=c, interpret=interpret,
+        )
+    else:
+        excl_p = jnp.full((bp, 1), -1, jnp.int32).at[:b, 0].set(
+            excl.astype(jnp.int32)
+        )
+        a_s, cand, cb = _scan_call(
+            q2, qn, features_t2, norms_row, excl_p, valid,
+            tq=tq, tc=tc, w=w, eps=eps, topc=c, interpret=interpret,
+        )
     a_s, cand, cb = a_s[:b], cand[:b], cb[:b]               # (B, C) x2, (B, 1)
     # ascending-index candidate order => lax.top_k's earlier-position tie
     # preference reproduces the reference's lowest-index rule
@@ -947,7 +1164,16 @@ def _certified_retrieve(
         jnp.clip(dots / jnp.where(guard, den, 1.0), -1.0, 1.0),
         0.0,
     )
-    ex = jnp.where(cand < 0, NEG_INF, ex)
+    bad_cand = cand < 0
+    if scan == "v3":
+        # the v3 scan carries no masks: drop the query's own row and any
+        # pad columns (index >= valid) here, at (B, C) cost
+        bad_cand = (
+            bad_cand
+            | (cand >= nvalid_rows)
+            | (cand == excl[:, None].astype(jnp.int32))
+        )
+    ex = jnp.where(bad_cand, NEG_INF, ex)
     kk = min(k + 1, c)
     top_s1, p2 = jax.lax.top_k(ex, kk)
     top_i = jnp.take_along_axis(cand, p2, axis=1)[:, :k]
@@ -1090,13 +1316,14 @@ class CertifiedRetriever:
             norms = np.linalg.norm(feats, axis=1).astype(np.float32)
         norms = np.asarray(norms, np.float32)
         tc = min(config.catalog_tile, _round_up(n, 128))
-        # bin width must divide the tile's 128-lane slice count
-        nw = 2
-        while (tc // 128) % nw or nw > 4:
+        self._scan = config.scan
+        self._depth = config.scan_depth if config.scan == "v3" else 3
+        # bin width must divide the tile's 128-lane slice count; the v3
+        # scan uses up to 8 slices (W=1024 bins) so depth-2 coverage
+        # failures stay ~1e-4/query, v2 keeps its tuned 4
+        nw = 8 if config.scan == "v3" else 4
+        while nw > 1 and (tc // 128) % nw:
             nw //= 2
-            if nw == 0:
-                nw = 1
-                break
         self.w = 128 * nw
         self.tc = tc
         # small batches are grid-step-overhead-bound: with the catalog
@@ -1219,8 +1446,8 @@ class CertifiedRetriever:
             if exclude_rows is None
             else jnp.asarray(exclude_rows, jnp.int32)
         )
-        c = min(max(self.config.prefilter, k), 3 * self.w)
-        if k > 3 * self.w:
+        c = min(max(self.config.prefilter, k), self._depth * self.w)
+        if k > self._depth * self.w:
             return self._fallback(queries, k, excl)
         bb = _bucket_batch(b)
         if bb != b:
@@ -1242,6 +1469,7 @@ class CertifiedRetriever:
             eps=self.config.eps, ceps=self._ceps,
             fallback_cap=cap,
             bitexact_rerank=jax.default_backend() == "tpu",
+            scan=self._scan, depth=self._depth,
             interpret=self.interpret,
         )
         # certificate-failing queries were already rescored on-device by
@@ -1270,11 +1498,12 @@ class CertifiedRetriever:
         _, _, ok, _ = _certified_retrieve(
             queries, self.features_t2, self.norms_row, self.features32,
             self.norms1d, excl, self._valid, jnp.int32(queries.shape[0]),
-            k=k, c=min(max(self.config.prefilter, k), 3 * self.w),
+            k=k, c=min(max(self.config.prefilter, k), self._depth * self.w),
             tq=min(self.config.query_tile, _round_up(queries.shape[0], 8)),
             tc=self.tc, w=self.w, eps=self.config.eps,
             ceps=self._ceps, fallback_cap=0,
             bitexact_rerank=jax.default_backend() == "tpu",
+            scan=self._scan, depth=self._depth,
             interpret=self.interpret,
         )
         ok_h = np.asarray(ok)
@@ -1307,8 +1536,8 @@ class CertifiedRetriever:
             if exclude_rows is None
             else jnp.asarray(exclude_rows, jnp.int32)
         )
-        c = min(max(self.config.prefilter, k), 3 * self.w)
-        if k > 3 * self.w:
+        c = min(max(self.config.prefilter, k), self._depth * self.w)
+        if k > self._depth * self.w:
             fs, fi = self._fallback(queries, k, excl)
             return np.asarray(fs), np.asarray(fi)
         bb = _bucket_batch(b)
@@ -1326,6 +1555,7 @@ class CertifiedRetriever:
             eps=self.config.eps, ceps=self._ceps,
             fallback_cap=cap,
             bitexact_rerank=jax.default_backend() == "tpu",
+            scan=self._scan, depth=self._depth,
             interpret=self.interpret,
         )
         s_h, i_h, overflow_h, nfail_h = jax.device_get(

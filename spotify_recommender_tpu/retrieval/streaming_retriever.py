@@ -16,10 +16,18 @@ earlier list) — results are bit-identical to `ops/similarity.exact_topk`.
 Throughput is PCIe/host-memory-bound by construction (~every byte crosses
 the host-device link once per batch), so this is the capacity tier, not
 the speed tier; batch queries to amortize the stream.
+
+Round-3: windows are **double-buffered** — a background thread stages and
+`device_put`s window i+1 while the device scores window i (JAX dispatch is
+async, so the host thread never waits on compute), and on TPU each window
+is scored by the **fused exact kernel** instead of the XLA oracle, so the
+(B, window) score matrix never materializes and device time stays under
+the host-link transfer time it overlaps with.
 """
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Optional, Tuple
 
@@ -78,13 +86,27 @@ class StreamingRetriever:
         norms: Optional[np.ndarray] = None,
         config: Optional[RetrievalConfig] = None,
         window: int = 1 << 20,          # rows per device slab (~48 MB @ F=12)
+        use_fused: Optional[bool] = None,
+        prefetch: bool = True,
     ) -> None:
         self.config = config or RetrievalConfig()
         self.features = features
         n, f = features.shape
         self.num_items = n
         self.feature_dim = f
-        self.window = min(window, max(1, n))
+        # pad the window to a lane multiple so the fused kernel tiles it
+        self.window = _round_up(min(window, max(1, n)), 128)
+        # fused Pallas scoring on TPU; the XLA oracle elsewhere (interpret-
+        # mode Pallas on CPU would be slower than the oracle at scale)
+        self.use_fused = (
+            jax.default_backend() == "tpu" if use_fused is None else use_fused
+        )
+        self.interpret = jax.default_backend() != "tpu"
+        self.prefetch = prefetch
+        tc = min(self.config.catalog_tile, self.window)
+        while self.window % tc:
+            tc -= 128
+        self._tc = tc
         if norms is None:
             # windowed norm computation: never materialize all rows
             norms = np.empty(n, np.float32)
@@ -117,18 +139,67 @@ class StreamingRetriever:
         best_s = jnp.full((b, k), NEG_INF, jnp.float32)
         best_i = jnp.full((b, k), -1, jnp.int32)
         w = self.window
-        for s in range(0, self.num_items, w):
+        starts = list(range(0, self.num_items, w))
+
+        def stage(s: int):
+            """Host-side staging + async H2D upload of one window (runs on
+            the prefetch thread, overlapped with the device scoring the
+            previous window)."""
             e = min(s + w, self.num_items)
-            slab = np.zeros((w, f), np.float32)
-            slab[: e - s] = np.asarray(self.features[s:e], np.float32)
-            nslab = np.zeros(w, np.float32)
-            nslab[: e - s] = self.norms[s:e]
-            best_s, best_i = _window_merge(
-                best_s, best_i, queries,
-                jnp.asarray(slab), jnp.asarray(nslab),
-                jnp.int32(s), jnp.int32(e - s), excl,
-                k=k, eps=self.config.eps,
+            rows = np.asarray(self.features[s:e], np.float32)
+            if self.use_fused:
+                slab = np.zeros((f, w), np.float32)       # kernel layout
+                slab[:, : e - s] = rows.T
+                nslab = np.zeros((1, w), np.float32)
+                nslab[0, : e - s] = self.norms[s:e]
+            else:
+                slab = np.zeros((w, f), np.float32)
+                slab[: e - s] = rows
+                nslab = np.zeros(w, np.float32)
+                nslab[: e - s] = self.norms[s:e]
+            return (
+                jax.device_put(jnp.asarray(slab)),
+                jax.device_put(jnp.asarray(nslab)),
+                s, e,
             )
+
+        pool = ThreadPoolExecutor(1) if self.prefetch and len(starts) > 1 \
+            else None
+        try:
+            fut = pool.submit(stage, starts[0]) if pool else None
+            for i, s0 in enumerate(starts):
+                slab, nslab, s, e = fut.result() if pool else stage(s0)
+                if pool and i + 1 < len(starts):
+                    fut = pool.submit(stage, starts[i + 1])
+                if self.use_fused:
+                    from spotify_recommender_tpu.ops.pallas.fused_topk import (
+                        _prepare_and_call,
+                    )
+
+                    # exclusion indices are global; the window kernel sees
+                    # window-local columns
+                    excl_local = jnp.where(
+                        (excl >= s) & (excl < e), excl - s, -1
+                    )
+                    tq = min(self.config.query_tile, _round_up(b, 8))
+                    w_s, w_i = _prepare_and_call(
+                        queries, excl_local, slab, nslab,
+                        jnp.full((1, 1), e - s, jnp.int32),
+                        k=k, tq=tq, tc=self._tc, eps=self.config.eps,
+                        exact=True, interpret=self.interpret,
+                    )
+                    best_s, best_i = merge_topk(
+                        best_s, best_i, w_s, w_i + s, k
+                    )
+                else:
+                    best_s, best_i = _window_merge(
+                        best_s, best_i, queries, slab, nslab,
+                        jnp.int32(s), jnp.int32(e - s), excl,
+                        k=k, eps=self.config.eps,
+                    )
+        finally:
+            if pool:
+                pool.shutdown(wait=False)
         return best_s, best_i
 
     # reference-API sugar mirroring Retriever.retrieve
