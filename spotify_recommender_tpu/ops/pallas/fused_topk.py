@@ -1059,6 +1059,7 @@ def _certified_retrieve(
     valid,          # (1, 1) int32 valid row count
     nreal=None,     # () int32 real query count (padded rows are exempted
                     # from the certificate: their outputs are discarded)
+    rn_min=None,    # () fp32 minimum NONZERO catalog norm (v3 guard bound)
     *,
     k: int,
     c: int,
@@ -1091,11 +1092,19 @@ def _certified_retrieve(
 
     scan="v3" uses the epilogue-free kernel (_scan_kernel_v3): the scan
     sees no exclusion/padding masks, so this function additionally masks
-    excluded and padded candidate indices before the top-k.  Soundness is
-    unchanged: the scan's raw-dot approx scores still upper-bound every
-    non-candidate's exact score within ceps (the exact epilogue only
-    LOWERS scores: the guard zeroes them, the clamp shrinks them, and
-    prenormalized zero rows already dot to 0).
+    excluded and padded candidate indices before the top-k.  For UNGUARDED
+    rows the scan's raw-dot approx scores upper-bound the exact score
+    within ceps (the clamp only shrinks |score|, and prenormalized
+    zero-norm rows dot to 0 = their exact score).  GUARDED rows
+    (qn*rn <= eps, reference Recommender.cu:67-72) are the one case where
+    the exact epilogue RAISES a score: a tiny-nonzero-norm row
+    prenormalizes to a full unit vector whose raw cosine can be strongly
+    negative while its exact score is pinned to 0.  The certificate is
+    therefore made guard-aware: when any catalog row could be guarded for
+    this query (qn * rn_min_nonzero <= eps), it additionally requires
+    s_k > 0 — guardable rows score exactly 0 in the exact tier, so
+    s_k > 0 proves none of them belongs in the top-k; otherwise the query
+    falls back to the oracle.
     """
     b, f = queries.shape
     bp = _round_up(b, tq)
@@ -1183,6 +1192,12 @@ def _certified_retrieve(
     v4max = cb[:, 0]
     # coverage: every non-candidate's exact score provably < s_k
     ok = jnp.maximum(a_c, v4max) + jnp.float32(ceps) < s_k
+    if scan == "v3" and rn_min is not None:
+        # guard-awareness (see docstring): v3 approx scores do NOT bound
+        # exact scores for guarded rows (exact = 0 regardless of cosine),
+        # so when a guardable row can exist require s_k > 0
+        guard_possible = qn1 * rn_min <= jnp.float32(eps)
+        ok = ok & (~guard_possible | (s_k > jnp.float32(0.0)))
     if nreal is not None:
         # bucket-padding rows (all-zero queries) legitimately score 0
         # everywhere and would fail the certificate for nothing — their
@@ -1379,6 +1394,14 @@ class CertifiedRetriever:
         self.features32 = jax.device_put(jnp.asarray(feats_p))
         self.norms1d = jax.device_put(jnp.asarray(norms_p512))
         self._valid = jnp.full((1, 1), n, jnp.int32)
+        # minimum NONZERO catalog norm: the v3 certificate's guard bound
+        # (a query can have guarded rows only when qn * rn_min <= eps);
+        # all-zero catalogs never trigger it (every row dots to 0 = its
+        # exact score, so the plain coverage bound is already sound)
+        nz = norms[norms > 0.0]
+        self._rn_min = jnp.float32(
+            float(nz.min()) if nz.size else np.finfo(np.float32).max
+        )
         self.fallbacks = 0   # observability: certificate-failure count
         # in-jit oracle fallback capacity: bounds the (cap, N) score
         # matrix the fallback branch may materialize (32 x 1M fp32 =
@@ -1465,6 +1488,7 @@ class CertifiedRetriever:
             excl,
             self._valid,
             jnp.int32(b),
+            self._rn_min,
             k=k, c=c, tq=tq, tc=tc, w=self.w,
             eps=self.config.eps, ceps=self._ceps,
             fallback_cap=cap,
@@ -1498,6 +1522,7 @@ class CertifiedRetriever:
         _, _, ok, _ = _certified_retrieve(
             queries, self.features_t2, self.norms_row, self.features32,
             self.norms1d, excl, self._valid, jnp.int32(queries.shape[0]),
+            self._rn_min,
             k=k, c=min(max(self.config.prefilter, k), self._depth * self.w),
             tq=min(self.config.query_tile, _round_up(queries.shape[0], 8)),
             tc=self.tc, w=self.w, eps=self.config.eps,
@@ -1551,6 +1576,7 @@ class CertifiedRetriever:
         top_s, top_i, ok, overflow = _certified_retrieve(
             q_in, self.features_t2, self.norms_row, self.features32,
             self.norms1d, e_in, self._valid, jnp.int32(b),
+            self._rn_min,
             k=k, c=c, tq=tq, tc=tc, w=self.w,
             eps=self.config.eps, ceps=self._ceps,
             fallback_cap=cap,

@@ -37,6 +37,7 @@ import numpy as np
 
 from spotify_recommender_tpu.core.config import RetrievalConfig
 from spotify_recommender_tpu.core.logging import get_logger
+from spotify_recommender_tpu.ops.pallas.fused_topk import _round_up
 from spotify_recommender_tpu.ops.similarity import (
     NEG_INF,
     cosine_scores_batched,
@@ -188,8 +189,12 @@ class StreamingRetriever:
                         k=k, tq=tq, tc=self._tc, eps=self.config.eps,
                         exact=True, interpret=self.interpret,
                     )
+                    # keep the kernel's -1 invalid-index sentinel intact:
+                    # a window with < k valid items must not contribute a
+                    # bogus global index s-1 to the merge
+                    w_i = jnp.where(w_i < 0, -1, w_i + s)
                     best_s, best_i = merge_topk(
-                        best_s, best_i, w_s, w_i + s, k
+                        best_s, best_i, w_s, w_i, k
                     )
                 else:
                     best_s, best_i = _window_merge(

@@ -151,6 +151,113 @@ class TestAdversarial:
         assert np.max(np.abs(approx - exact)) < BF16X2_EPS
 
 
+class TestGuardSoundness:
+    def test_tiny_nonzero_norm_row_anti_correlated_query(self, rng):
+        """The v3 certificate's one RAISING case: a tiny-nonzero-norm row
+        (qn*rn <= 1e-8) prenormalizes to a full unit vector whose raw
+        cosine is -1, but the exact tier's guard pins its score to 0
+        (reference Recommender.cu:67-72).  With every other score negative
+        and well-separated, the plain coverage bound would certify a
+        top-k that MISSES the guarded row — the guard-aware certificate
+        must fail instead and the fallback must put the guarded row
+        (exact score 0) first."""
+        n, f = 4096, 12            # 4096 = one tile: no pad columns
+        q = (rng.random(f).astype(np.float32) + 0.5)
+        noise = 0.3 * rng.standard_normal((n, f)).astype(np.float32)
+        feats = -q[None, :] + noise          # distinct negative cosines
+        guarded = 3
+        feats[guarded] = -q * np.float32(1e-12)   # rn ~ 1e-12: guarded
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        assert 0 < norms[guarded] and norms[guarded] * np.linalg.norm(q) < 1e-8
+        cr = CertifiedRetriever(feats, norms, interpret=True)
+        s, i = cr(q[None, :], 3)
+        rs, ri = oracle(q[None, :], feats, norms, 3)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(rs))
+        # the guarded row's exact score 0 beats every negative cosine
+        assert np.asarray(i)[0, 0] == guarded
+        assert np.asarray(s)[0, 0] == 0.0
+        assert cr.fallbacks >= 1   # the certificate must not bluff here
+
+    def test_guard_aware_cert_no_false_fallback_on_positive(self, rng):
+        """Tiny-norm rows present but every top score positive: s_k > 0
+        proves guarded rows (exact 0) are out — the certificate should
+        still PASS (no fallback storm on benign catalogs)."""
+        feats, norms, q = make_data(rng, 4096, b=8)
+        feats[11] *= np.float32(1e-12)       # one guardable row
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        cr = CertifiedRetriever(feats, norms, interpret=True)
+        s, i = cr(q, 10)
+        rs, ri = oracle(q, feats, norms, 10)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        assert cr.fallbacks == 0
+
+
+class TestNegativeCatalogs:
+    """Learned-embedding regime (BASELINE's 64-dim config): standard-
+    normal catalogs where scores are mostly NEGATIVE — v3's zero-scoring
+    pad columns and epilogue-free scan must still deliver exactness."""
+
+    @pytest.mark.parametrize("n", [5000, 8192])
+    def test_standard_normal_embeddings_match_oracle(self, rng, n):
+        f, b = 64, 16
+        feats = rng.standard_normal((n, f)).astype(np.float32)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        q = rng.standard_normal((b, f)).astype(np.float32)
+        cr = CertifiedRetriever(feats, norms, interpret=True)
+        s, i = cr(q, 10)
+        rs, ri = oracle(q, feats, norms, 10)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(rs), rtol=0, atol=1e-6
+        )
+
+    def test_all_negative_scores_with_exclusions_and_pads(self, rng):
+        """Every real score negative + unaligned catalog (pad columns
+        score 0 in the v3 scan and can displace real candidates) +
+        self-exclusion: result must still equal the oracle."""
+        n, f, b = 3333, 16, 8            # 3333: forces pad columns
+        q = rng.random((b, f)).astype(np.float32) + 0.5
+        feats = -(rng.random((n, f)).astype(np.float32) + 0.5)
+        rows = rng.integers(0, n, b).astype(np.int32)
+        feats[rows] = q                   # self rows positive -> excluded
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        cr = CertifiedRetriever(feats, norms, interpret=True)
+        s, i = cr(q, 10, exclude_rows=rows)
+        rs, ri = oracle(q, feats, norms, 10, excl=rows)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        assert not np.any(np.asarray(i) == rows[:, None])
+        # no pad column (>= n) or sentinel may leak into the results
+        got = np.asarray(i)
+        assert np.all((got >= 0) & (got < n))
+
+
+class TestDepth2Collision:
+    def test_three_in_one_bin_depth2_forces_fallback(self, rng):
+        """Minimal depth-2 collision: 3 engineered top hits in ONE v3 bin
+        (same lane, same slice-parity).  depth-2 tracking keeps only 2;
+        the per-bin 3rd-best bound must fail the certificate and the
+        fallback must restore exactness."""
+        n, f = 8192, 12
+        feats = 0.01 * rng.random((n, f)).astype(np.float32) + 0.01
+        target = rng.random(f).astype(np.float32) + 1.0
+        cr_probe = CertifiedRetriever(feats, interpret=True)
+        assert cr_probe._depth == 2       # v3 default
+        w = cr_probe.w
+        hot = [13 + j * w for j in range(3)]
+        for rank, col in enumerate(hot):
+            feats[col] = target * (1.0 - 1e-4 * rank)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        q = target[None, :]
+        cr = CertifiedRetriever(feats, norms, interpret=True)
+        s, i = cr(q, 3)
+        rs, ri = oracle(q, feats, norms, 3)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(rs))
+        assert set(hot) == set(np.asarray(i)[0].tolist())
+        assert cr.fallbacks >= 1
+
+
 class TestTieSemantics:
     def test_duplicate_rows_lowest_index_wins(self, rng):
         """Exact duplicates score identically; the reference heap keeps
