@@ -132,13 +132,15 @@ def cmd_recommend(
 
     if row is not None:
         q = retriever.lookup(row)
-        print("\n" + "=" * 46)
+        # byte-parity with the reference's query-song card, including the
+        # U+2501 rules (reference main.cpp:105-112)
+        print("\n" + "━" * 46)
         print("Query Song:")
         print(f"  Title:   {q.track_name}")
         print(f"  Artist:  {q.artists}")
         print(f"  Genre:   {q.genre}")
         print(f"  ID:      {q.track_id}")
-        print("=" * 46)
+        print("━" * 46)
 
     print(f"\nTop {len(recs)} Recommendations:\n")
     for i, r in enumerate(recs):
@@ -149,7 +151,7 @@ def cmd_recommend(
         print(f"   Score:  {r.score:.6f}")
         if i < len(recs) - 1:
             print()
-    print("\nRecommendation complete!")
+    print("\n✓ Recommendation complete!")  # reference main.cpp:129
     return 0
 
 

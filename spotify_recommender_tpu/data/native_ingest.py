@@ -78,13 +78,34 @@ def _strings(lib, handle, field: str, n: int) -> List[str]:
     ]
 
 
-def parse_csv_buffer(data: bytes, num_threads: int = 0):
-    """Parse raw CSV bytes via the native library → RawTable."""
+def _env_threads() -> int:
+    """Thread count from the environment (0 = library auto-detect).
+
+    Honors OMP_NUM_THREADS for parity with the reference's OpenMP
+    preprocessing (reference README.md:233-237), with SRT_NUM_THREADS
+    taking precedence as the framework-specific override."""
+    for var in ("SRT_NUM_THREADS", "OMP_NUM_THREADS"):
+        val = os.environ.get(var, "").strip()
+        if val:
+            try:
+                return max(0, int(val))
+            except ValueError:
+                pass
+    return 0
+
+
+def parse_csv_buffer(data: bytes, num_threads: Optional[int] = None):
+    """Parse raw CSV bytes via the native library → RawTable.
+
+    num_threads None = use SRT_NUM_THREADS / OMP_NUM_THREADS from the
+    environment (reference parity), falling back to auto-detect."""
     from spotify_recommender_tpu.data.csv_ingest import RawTable
 
     lib = _load()
     if lib is None:
         raise RuntimeError("native csv parser not built (make -C native)")
+    if num_threads is None:
+        num_threads = _env_threads()
     handle = lib.srt_parse_csv(data, len(data), num_threads)
     try:
         err = lib.srt_error(handle)
