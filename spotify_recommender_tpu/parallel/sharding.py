@@ -79,7 +79,9 @@ def _local_score_topk(
     return merge_topk_deterministic(cand_scores, cand_idx, k)
 
 
-@partial(jax.jit, static_argnames=("k", "eps", "mesh", "axis_name"))
+@partial(
+    jax.jit, static_argnames=("k", "eps", "mesh", "axis_name", "data_axis")
+)
 def sharded_topk_retrieve(
     queries: jnp.ndarray,
     features: jnp.ndarray,
@@ -91,22 +93,30 @@ def sharded_topk_retrieve(
     mesh: Mesh,
     axis_name: str = "catalog",
     eps: float = COSINE_EPS,
+    data_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Row-sharded exact top-k over the mesh (see module docstring)."""
+    """Row-sharded exact top-k over the mesh (see module docstring).
+
+    With `data_axis`, the query batch is additionally sharded over that
+    mesh axis (2-D data x catalog parallelism): each data group runs the
+    same catalog-sharded retrieval on its batch slice, with no
+    cross-group communication."""
     body = partial(
         _local_score_topk, k=k, eps=eps, axis_name=axis_name
     )
+    qspec = P(data_axis, None) if data_axis else P()
+    espec = P(data_axis) if data_axis else P()
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(
-            P(),                 # queries replicated
+            qspec,               # queries: replicated, or data-sharded
             P(axis_name, None),  # features row-sharded
             P(axis_name),        # norms row-sharded
-            P(),                 # exclude replicated
+            espec,               # exclude follows the query sharding
             P(),                 # valid_rows replicated
         ),
-        out_specs=(P(), P()),
+        out_specs=(qspec, qspec),
         check_vma=False,
     )
     return fn(queries, features, norms, exclude_rows, valid_rows)
@@ -183,6 +193,7 @@ def _local_certified_topk(
     bitexact: bool,
     interpret: bool,
     axis_name: str,
+    sum_axes: Tuple[str, ...] = (),
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """shard_map body: the CERTIFIED tier per shard (scan -> in-kernel
     top-C -> bitwise rerank -> certificate -> in-jit oracle fallback, all
@@ -221,10 +232,11 @@ def _local_certified_topk(
         offset + local_i.astype(jnp.int32), axis_name, axis=1, tiled=True
     )
     merged_s, merged_i = merge_topk_deterministic(cand_s, cand_i, k)
-    any_overflow = jax.lax.psum(overflow.astype(jnp.int32), axis_name)
-    nfail = jax.lax.psum(
-        jnp.sum((~ok).astype(jnp.int32)), axis_name
-    )
+    # overflow/nfail are summed over every mesh axis in play so their
+    # out_spec stays fully replicated even under 2-D data x catalog runs
+    red_axes = sum_axes or (axis_name,)
+    any_overflow = jax.lax.psum(overflow.astype(jnp.int32), red_axes)
+    nfail = jax.lax.psum(jnp.sum((~ok).astype(jnp.int32)), red_axes)
     return merged_s, merged_i, any_overflow, nfail
 
 
@@ -251,9 +263,18 @@ class ShardedCatalog:
         exact: bool = True,
         interpret: bool = False,
         prefilter: int = 32,
+        data_axis: Optional[str] = None,
     ) -> None:
         self.mesh = mesh
         self.axis_name = axis_name
+        # 2-D data x catalog parallelism: with `data_axis` set (and the
+        # mesh carrying that axis), the query batch is sharded over it —
+        # each data group scores its slice against the full (catalog-
+        # sharded) item matrix, so the allgather+merge runs independently
+        # per group and batch must divide the data-axis size
+        self.data_axis = data_axis if (
+            data_axis is not None and mesh.shape.get(data_axis, 1) > 1
+        ) else None
         self.eps = eps
         self.use_pallas = use_pallas
         self.use_certified = use_certified
@@ -360,6 +381,15 @@ class ShardedCatalog:
         b = queries.shape[0]
         if exclude_rows is None:
             exclude_rows = jnp.full((b,), -1, jnp.int32)
+        n_data = self.mesh.shape[self.data_axis] if self.data_axis else 1
+        if b % n_data:
+            raise ValueError(
+                f"batch {b} must divide the '{self.data_axis}' axis "
+                f"size {n_data}"
+            )
+        b_local = b // n_data
+        qspec = P(self.data_axis, None) if self.data_axis else P()
+        espec = P(self.data_axis) if self.data_axis else P()
         if self.use_certified:
             from spotify_recommender_tpu.ops.pallas.fused_topk import (
                 BF16X2_EPS,
@@ -369,7 +399,7 @@ class ShardedCatalog:
                 _local_certified_topk,
                 k=k,
                 c=self.prefilter,
-                tq=min(self.tq, -(-b // 8) * 8),
+                tq=min(self.tq, -(-b_local // 8) * 8),
                 tc=self.tc,
                 w=self.w,
                 eps=self.eps,
@@ -378,20 +408,24 @@ class ShardedCatalog:
                 bitexact=jax.default_backend() == "tpu",
                 interpret=self.interpret,
                 axis_name=self.axis_name,
+                sum_axes=(
+                    (self.data_axis, self.axis_name)
+                    if self.data_axis else ()
+                ),
             )
             fn = jax.shard_map(
                 body,
                 mesh=self.mesh,
                 in_specs=(
-                    P(),                       # queries replicated
+                    qspec,                     # queries (repl / data-shard)
                     P(None, self.axis_name),   # bf16x2 planes col-sharded
                     P(None, self.axis_name),   # norms row col-sharded
                     P(self.axis_name, None),   # fp32 rows row-sharded
                     P(self.axis_name),         # norms1d row-sharded
-                    P(),                       # exclusions replicated
+                    espec,                     # exclusions follow queries
                     P(),                       # valid count replicated
                 ),
-                out_specs=(P(), P(), P(), P()),
+                out_specs=(qspec, qspec, P(), P()),
                 check_vma=False,
             )
             s, i, overflow, nfail = fn(
@@ -421,13 +455,14 @@ class ShardedCatalog:
                     mesh=self.mesh,
                     axis_name=self.axis_name,
                     eps=self.eps,
+                    data_axis=self.data_axis,
                 )
             return s, i
         if self.use_pallas:
             body = partial(
                 _local_fused_topk,
                 k=k,
-                tq=min(self.tq, -(-b // 8) * 8),
+                tq=min(self.tq, -(-b_local // 8) * 8),
                 tc=self.tc,
                 eps=self.eps,
                 exact=self.exact,
@@ -438,13 +473,13 @@ class ShardedCatalog:
                 body,
                 mesh=self.mesh,
                 in_specs=(
-                    P(),                       # queries replicated
+                    qspec,                     # queries (repl / data-shard)
                     P(None, self.axis_name),   # features_t column-sharded
                     P(None, self.axis_name),   # norms column-sharded
-                    P(),                       # exclusions replicated
+                    espec,                     # exclusions follow queries
                     P(),                       # valid count replicated
                 ),
-                out_specs=(P(), P()),
+                out_specs=(qspec, qspec),
                 check_vma=False,
             )
             return fn(
@@ -464,6 +499,7 @@ class ShardedCatalog:
             mesh=self.mesh,
             axis_name=self.axis_name,
             eps=self.eps,
+            data_axis=self.data_axis,
         )
 
     def _oracle_buffers(self):

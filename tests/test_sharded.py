@@ -184,3 +184,113 @@ class TestCertifiedSharded:
             _, i = sc.retrieve(jnp.asarray(q), 7)
             outs.append(np.asarray(i))
         np.testing.assert_array_equal(outs[0], outs[1])
+
+
+class Test2DMesh:
+    """2-D data x catalog parallelism: batch sharded over 'data', catalog
+    rows over 'catalog' (VERDICT r3 item 8)."""
+
+    def test_xla_backend_matches_oracle(self):
+        feats = random_features(1003, seed=7)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        mesh = make_mesh(MeshConfig(data=2, catalog=4))
+        sc = ShardedCatalog(feats, norms, mesh, data_axis="data")
+        q = jnp.asarray(feats[100:116])
+        excl = jnp.arange(100, 116, dtype=jnp.int32)
+        s, i = sc.retrieve(q, 10, excl)
+        rs, ri = exact_topk(
+            q, jnp.asarray(feats), jnp.asarray(norms),
+            exclude_rows=excl, k=10,
+        )
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(rs), rtol=0, atol=1e-6
+        )
+
+    def test_certified_backend_matches_oracle(self):
+        feats = random_features(900, seed=8)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        mesh = make_mesh(MeshConfig(data=4, catalog=2))
+        sc = ShardedCatalog(
+            feats, norms, mesh, data_axis="data",
+            use_certified=True, interpret=True,
+        )
+        q = jnp.asarray(feats[:8])
+        s, i = sc.retrieve(q, 5)
+        rs, ri = exact_topk(q, jnp.asarray(feats), jnp.asarray(norms), k=5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+    def test_batch_must_divide_data_axis(self):
+        feats = random_features(640, seed=9)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        mesh = make_mesh(MeshConfig(data=2, catalog=4))
+        sc = ShardedCatalog(feats, norms, mesh, data_axis="data")
+        with pytest.raises(ValueError, match="divide"):
+            sc.retrieve(jnp.asarray(feats[:7]), 5)
+
+
+class TestICITraffic:
+    def test_allgather_moves_only_candidates(self):
+        """Every all_gather in the sharded program carries (B, k_local)
+        payloads — the (B, N) score matrix never crosses the ICI."""
+        import functools
+
+        from spotify_recommender_tpu.parallel.sharding import (
+            sharded_topk_retrieve,
+        )
+
+        feats = random_features(1024, seed=10)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        mesh = make_mesh(MeshConfig(data=1, catalog=8))
+        sc = ShardedCatalog(feats, norms, mesh)
+        b, k = 16, 10
+        q = jnp.asarray(feats[:b])
+        excl = jnp.full((b,), -1, jnp.int32)
+        jaxpr = jax.make_jaxpr(
+            functools.partial(
+                sharded_topk_retrieve, k=k, mesh=mesh, axis_name="catalog"
+            )
+        )(q, sc.features, sc.norms, excl, sc._valid)
+
+        def find(jx, name, out):
+            for eqn in jx.eqns:
+                if eqn.primitive.name == name:
+                    out.append(eqn)
+                for val in eqn.params.values():
+                    vals = val if isinstance(val, (tuple, list)) else (val,)
+                    for v in vals:
+                        sub = getattr(v, "jaxpr", v)
+                        if hasattr(sub, "eqns"):
+                            find(sub, name, out)
+            return out
+
+        gathers = find(jaxpr.jaxpr, "all_gather", [])
+        assert gathers
+        for eqn in gathers:
+            payload = int(np.prod(eqn.invars[0].aval.shape))
+            assert payload <= b * k
+
+
+def test_dryrun_multichip_16_devices():
+    """The graft dryrun passes at n_devices=16 (subprocess: the device
+    count must be set before backend init)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import jax; "
+        "import __graft_entry__ as g; "
+        "g.dryrun_multichip(16); print('OK16')"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK16" in proc.stdout
