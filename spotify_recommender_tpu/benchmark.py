@@ -221,10 +221,217 @@ def run_benchmark(
     return result
 
 
-def run_benchmark_suite(time_budget_s: float = 240.0) -> BenchResult:
+def run_quality_row(seed: int = 0) -> dict:
+    """Training-quality metrics (BASELINE 'recall@10 (MF path)'): fixed-seed
+    ALS recall@10/NDCG@10 on low-rank synthetic implicit feedback, plus a
+    two-tower co-listen hit rate through the same MIPS retrieval stack.
+    Small fixed workload: the row is a regression tripwire (a training or
+    eval regression shows up as a recall drop), not a throughput claim."""
+    from spotify_recommender_tpu.core.config import MFConfig, TwoTowerConfig
+    from spotify_recommender_tpu.models import mf, two_tower
+
+    out: dict = {}
+    inter, _, _ = mf.synthetic_interactions(
+        num_users=2000, num_items=1000, latent_dim=8, seed=seed
+    )
+    train_i, held_idx, held_mask, seen_idx, seen_mask = (
+        mf.split_leave_k_out_arrays(inter, k=1, seed=seed)
+    )
+    users, items = mf.train_als(
+        train_i,
+        MFConfig(embedding_dim=16, num_iterations=6, reg=0.05, alpha=10.0,
+                 seed=seed),
+    )
+    eligible = np.nonzero(held_mask.any(axis=1))[0]
+    m = mf.evaluate_ranking_arrays(
+        users, items, eligible, held_idx[eligible], held_mask[eligible],
+        k=10, seen_idx=seen_idx[eligible], seen_mask=seen_mask[eligible],
+    )
+    out["mf_als_recall_at_10"] = round(m["recall@k"], 4)
+    out["mf_als_ndcg_at_10"] = round(m["ndcg@k"], 4)
+
+    # two-tower on the same co-listen signal: item features are a noisy
+    # low-dim projection so the towers have something to learn from
+    rng = np.random.default_rng(seed)
+    feats = (items @ rng.standard_normal((items.shape[1], 12)) / 4.0
+             ).astype(np.float32) + 0.05 * rng.standard_normal(
+        (items.shape[0], 12)
+    ).astype(np.float32)
+    cfg = TwoTowerConfig(
+        embedding_dim=16, hidden_dims=(32,), batch_size=256, num_steps=200,
+        learning_rate=3e-3, seed=seed,
+    )
+    res = two_tower.train(
+        feats, np.zeros(len(feats), np.int32), cfg,
+        pair_fn=two_tower.colisten_pair_fn(train_i, feats, rng),
+    )
+    tm = two_tower.evaluate_colisten(res.params, cfg, feats, inter, k=10,
+                                     seed=seed)
+    out["two_tower_recall_at_10"] = round(tm["recall@k"], 4)
+    out["two_tower_ndcg_at_10"] = round(tm["ndcg@k"], 4)
+    return out
+
+
+def run_serve_row(
+    num_items: int = 1_000_000,
+    n_clients: int = 32,
+    reqs_each: int = 10,
+    max_queue: int = 64,
+    seed: int = 0,
+) -> dict:
+    """Serving p50/p95/p99 + aggregate req/s through the coalescer, plus a
+    backpressure burst past queue capacity (exercising the 429 path).
+    Drives RecommenderService directly (the HTTP layer adds socket cost,
+    not device cost; experiments/serve_load.py measures full HTTP)."""
+    import threading
+
+    from spotify_recommender_tpu.core.config import RetrievalConfig
+    from spotify_recommender_tpu.data.catalog import Catalog
+    from spotify_recommender_tpu.serve.server import (
+        RecommenderService, ServiceOverloaded,
+    )
+
+    rng = np.random.default_rng(seed)
+    feats = rng.random((num_items, 12), dtype=np.float32)
+    cat = Catalog(
+        features=feats,
+        norms=np.linalg.norm(feats, axis=1).astype(np.float32),
+        track_ids=np.asarray(
+            [f"tid{i:08d}" for i in range(num_items)], object
+        ),
+        track_names=np.asarray(
+            [f"Song {i}" for i in range(num_items)], object
+        ),
+        artists=np.asarray(
+            [f"Artist {i % 997}" for i in range(num_items)], object
+        ),
+        genre_ids=np.zeros(num_items, np.int32),
+        genre_names=["all"],
+        min_vals=np.zeros(11, np.float32),
+        max_vals=np.ones(11, np.float32),
+    )
+    svc = RecommenderService(
+        cat, RetrievalConfig(), coalesce_window_ms=2.0, max_queue=max_queue
+    )
+    try:
+        svc.warmup(max_batch=32)
+        ids = [f"tid{i:08d}"
+               for i in rng.integers(0, num_items, n_clients * reqs_each)]
+        errors: list = []
+
+        def client(c: int):
+            for j in range(reqs_each):
+                r = svc.recommend(ids[c * reqs_each + j], by_id=True, k=10)
+                if "error" in r:
+                    errors.append(r)
+
+        def run_round() -> float:
+            threads = [threading.Thread(target=client, args=(c,))
+                       for c in range(n_clients)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            return time.perf_counter() - t0
+
+        run_round()                       # warm each coalesced bucket
+        errors.clear()
+        dt = run_round()
+        metrics = svc.metrics()
+        ok_reqs = n_clients * reqs_each - len(errors)
+        out = {
+            # throughput counts SUCCESSFUL responses only — shed (429)
+            # requests are recorded separately, never as capacity
+            "serve_req_per_s": round(ok_reqs / dt, 1),
+            "serve_p50_ms": metrics.get("p50_latency_ms"),
+            "serve_p95_ms": metrics.get("p95_latency_ms"),
+            "serve_p99_ms": metrics.get("p99_latency_ms"),
+            "serve_errors": len(errors),
+        }
+
+        # burst past capacity: max_queue+64 simultaneous submits while the
+        # dispatcher is busy -> the overflow must be shed as 429s
+        burst_n = max_queue + 64
+        rejected: list = []
+        barrier = threading.Barrier(burst_n)
+
+        def burst_client(c: int):
+            barrier.wait()
+            try:
+                svc.coalescer.submit(feats[c % num_items], -1, 10)
+            except ServiceOverloaded:
+                rejected.append(c)
+
+        threads = [threading.Thread(target=burst_client, args=(c,))
+                   for c in range(burst_n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        out["serve_burst_requests"] = burst_n
+        out["serve_burst_rejected_429"] = len(rejected)
+        return out
+    finally:
+        svc.close()
+
+
+def run_streaming_row(
+    num_items: int = 4_000_000,
+    num_queries: int = 256,
+    window: int = 1 << 20,
+    seed: int = 0,
+) -> dict:
+    """Host-streaming capacity tier: exact top-k with the catalog resident
+    on HOST memory, streamed through the device in windows (the rung past
+    the reference's GPU-memory wall, reference ARCHITECTURE.md:305-309).
+
+    The recorded GB/s is the HOST-DEVICE LINK rate by construction —
+    on the tunneled dev rig that link is a network hop (~0.04 GB/s,
+    recorded as `hostlink_GBps` for context); the same code rides the full
+    PCIe rate on directly-attached hosts.  The row's regression value is
+    that the tier RUNS end-to-end and its overlap/merge cost stays near
+    the measured link floor (`streaming_link_efficiency`)."""
+    from spotify_recommender_tpu.retrieval.streaming_retriever import (
+        StreamingRetriever,
+    )
+
+    rng = np.random.default_rng(seed)
+    feats = rng.random((num_items, 12), dtype=np.float32)
+    queries = feats[rng.integers(0, num_items, num_queries)]
+
+    # measured raw link rate for the efficiency denominator
+    jax.block_until_ready(jax.device_put(np.asarray(feats[:window])))
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(np.asarray(feats[:window])))
+    link_gbps = feats[:window].nbytes / (time.perf_counter() - t0) / 1e9
+
+    sr = StreamingRetriever(feats, window=window)
+    dq = jax.device_put(queries)
+    jax.block_until_ready(sr(dq, 10))            # compile + first pass
+    t0 = time.perf_counter()
+    s, r = sr(dq, 10)
+    jax.block_until_ready((s, r))
+    dt = time.perf_counter() - t0
+    bytes_streamed = num_items * 12 * 4
+    gbps = bytes_streamed / dt / 1e9
+    return {
+        "streaming_items": num_items,
+        "streaming_batch": num_queries,
+        "streaming_qps": round(num_queries / dt, 1),
+        "streaming_GBps": round(gbps, 3),
+        "hostlink_GBps": round(link_gbps, 3),
+        "streaming_link_efficiency": round(gbps / max(link_gbps, 1e-9), 2),
+    }
+
+
+def run_benchmark_suite(time_budget_s: float = 420.0) -> BenchResult:
     """Driver-facing suite: headline 1M exact row plus the BASELINE's
     auxiliary configs (10M exact, 10M single-query, 64-dim
-    learned-embedding serving, bf16 approximate tier) in the details.
+    learned-embedding serving, bf16 approximate tier), training-quality
+    regression rows (ALS recall@10/NDCG@10, two-tower co-listen), a
+    serving row (p50/p95/p99, req/s, 429 backpressure), and the
+    host-streaming capacity tier in the details.
 
     The suite watches a wall-clock budget and SKIPS remaining auxiliary
     rows rather than risking the driver's timeout killing the whole run
@@ -270,7 +477,22 @@ def run_benchmark_suite(time_budget_s: float = 240.0) -> BenchResult:
             )
         except Exception as e:  # pragma: no cover - bench resilience
             log.warning("10M bench failed: %s", e)
-    if budget_left("64dim", 0.75 * time_budget_s):
+    if budget_left("quality", 0.55 * time_budget_s):
+        try:
+            extras.update(run_quality_row())
+        except Exception as e:  # pragma: no cover - bench resilience
+            log.warning("quality bench failed: %s", e)
+    if budget_left("serve", 0.7 * time_budget_s):
+        try:
+            extras.update(run_serve_row())
+        except Exception as e:  # pragma: no cover
+            log.warning("serve bench failed: %s", e)
+    if budget_left("streaming", 0.8 * time_budget_s):
+        try:
+            extras.update(run_streaming_row())
+        except Exception as e:  # pragma: no cover
+            log.warning("streaming bench failed: %s", e)
+    if budget_left("64dim", 0.9 * time_budget_s):
         try:
             r64 = run_benchmark(
                 num_items=1_000_000, num_queries=1024, feature_dim=64,

@@ -87,14 +87,24 @@ class RetrievalConfig:
     # the exact fp32 rerank; larger = fewer certificate fallbacks.
     prefilter: int = 32
     # Certified scan kernel: "v3" = epilogue-free bin scan (raw unit-dot
-    # approx scores, exclusion/padding handled at the rerank — ~2.3x the
-    # v2 throughput at 10M items, round-3 ablation); "v2" = round-2
-    # kernel with the in-scan cosine epilogue.
+    # approx scores, exclusion/padding handled at the rerank; recorded
+    # round-4 ablation in docs/PERFORMANCE.md); "v2" = round-2 kernel
+    # with the in-scan cosine epilogue.
     scan: str = "v3"
     # v3 bin depth: each bin keeps its top-`scan_depth` candidates plus a
-    # (depth+1)-th-best coverage bound.  2 makes a coverage failure (>2 of
-    # the true top-k in one bin) a ~1e-4/query event at k=10, W=1024.
-    scan_depth: int = 2
+    # (depth+1)-th-best coverage bound.  3 makes a coverage failure (>3 of
+    # the true top-k in one bin) a ~1e-4/query event at k=10, W=128 —
+    # measured 0 fallbacks/1024 queries at 10M items (round-4 sweep,
+    # docs/PERFORMANCE.md).
+    scan_depth: int = 3
+    # v3 bin count W (0 = auto: 128).  Fewer bins = fewer live vector
+    # registers in the scan loop (the round-4 sweep measured depth-3
+    # W=128 at 68% the scan time of depth-2 W=1024 — register pressure,
+    # not op count, dominates) at the price of a higher bin-collision
+    # fallback rate; must divide the catalog tile's 128-lane slice count.
+    # Large-k workloads (k >> 10) should raise this: the collision rate
+    # grows ~C(k, depth+1) / W^depth.
+    scan_bins: int = 0
     # bf16x2 catalog layout: 4 planes [hi,lo,hi,lo] = ONE MXU dot pass
     # (fastest for batched serving, 96 B/item); 2 planes [hi,lo] = TWO
     # dot passes but half the bytes — better for the HBM-stream-bound

@@ -879,12 +879,16 @@ def _scan_kernel_v3(
       displace real candidates only when real scores are <= 0 en masse —
       then the certificate fails and the oracle fallback serves truth.)
 
-    `depth` is configurable: each of the W bins keeps its top-`depth`
-    (values + indices, lowest-index tie rule via strict >) plus the value
-    of its (depth+1)-th best.  depth=2 @ W=1024 makes a top-10 coverage
-    failure (>2 of the true top-k hashing to one bin) a ~1e-4 per-query
-    event vs ~9% for depth=1 @ 512 — the measured VPU cost is ~11
-    elementwise ops per 128 items vs depth-3's 15 plus ~6 of epilogue.
+    `depth` and `w` are configurable: each of the W bins keeps its
+    top-`depth` (values + indices, lowest-index tie rule via strict >)
+    plus the value of its (depth+1)-th best.  The production default is
+    depth=3 @ W=128: the round-4 sweep (experiments/scan_sweep_r4*.py,
+    recorded in docs/PERFORMANCE.md) measured the scan REGISTER-PRESSURE-
+    bound, not op-count-bound — at 10M/B=1024 depth-3 W=128 scans in
+    31.5 ms vs 46.2 ms for depth-2 W=1024 (fewer live (TQ,128) structure
+    slots beats fewer compares), with 0 measured fallbacks (a coverage
+    failure needs >3 of the true top-k hashing to ONE of the 128 bins,
+    ~1e-4/query at k=10).
     """
     cj = pl.program_id(1)
     num_cj = pl.num_programs(1)
@@ -1333,10 +1337,19 @@ class CertifiedRetriever:
         tc = min(config.catalog_tile, _round_up(n, 128))
         self._scan = config.scan
         self._depth = config.scan_depth if config.scan == "v3" else 3
-        # bin width must divide the tile's 128-lane slice count; the v3
-        # scan uses up to 8 slices (W=1024 bins) so depth-2 coverage
-        # failures stay ~1e-4/query, v2 keeps its tuned 4
-        nw = 8 if config.scan == "v3" else 4
+        # bin width must divide the tile's 128-lane slice count.  v3
+        # default W=128 at depth 3: the round-4 sweep measured the scan
+        # register-pressure-bound, not op-count-bound — W=128/d3 scans
+        # 10M/B=1024 in 31.5 ms vs 46.2 ms for the old W=1024/d2, with 0
+        # measured fallbacks (coverage failure needs >3 of the top-k in
+        # ONE bin, ~1e-4/query at k=10).  config.scan_bins overrides for
+        # large-k workloads (collision rate ~C(k, depth+1)/W^depth).
+        # v2's width was 2 in round 2 and intentionally doubled to 4 in
+        # round 3 (certificate unchanged — it is parameterized by W).
+        if config.scan == "v3":
+            nw = max(1, config.scan_bins // 128) if config.scan_bins else 1
+        else:
+            nw = 4
         while nw > 1 and (tc // 128) % nw:
             nw //= 2
         self.w = 128 * nw
@@ -1379,6 +1392,15 @@ class CertifiedRetriever:
         nrm = np.zeros((1, np_pad), np.float32)
         nrm[0, :n] = norms
         self.features_t2 = jax.device_put(jnp.asarray(ft, jnp.bfloat16))
+        # dual layout: small batches are HBM-stream-bound, where the
+        # 2-plane [hi, lo] layout halves the bytes per item (two MXU
+        # passes instead of one — the MXU is idle at small B anyway).
+        # Holding both costs +50% catalog HBM, only worth it at scale.
+        self.features_t2_small = None
+        if planes == 4 and n >= 2_000_000:
+            self.features_t2_small = jax.device_put(
+                jnp.asarray(ft[: 2 * f], jnp.bfloat16)
+            )
         self.norms_row = jax.device_put(nrm)
         # fp32 catalog padded to the fallback block (512): the in-jit
         # oracle fallback can then reshape scores blockwise without a
@@ -1452,36 +1474,82 @@ class CertifiedRetriever:
             eps=self.config.eps,
         )
 
+    def _batch_inputs(self, queries, exclude_rows):
+        """Normalize (queries, exclusions) to kernel-ready arrays with the
+        MINIMUM number of device dispatches — on tunneled backends each
+        eager padding op costs a ~3 ms dispatch slot in the latency chain,
+        which used to dominate B=1 latency 4-to-1.
+
+        - host (numpy) inputs: bucket-pad in numpy; padding is free and
+          the jit executable set stays bounded (serving path);
+        - device inputs, b <= 16: NO padding — the per-b jit cache is
+          bounded by 16 small-batch programs, and the call is one
+          dispatch (the kernel pads to the query tile internally);
+        - device inputs, b > 16: bucket-pad (latency-insensitive regime).
+        Returns (queries, excl, b, bb)."""
+        if not isinstance(queries, jax.Array):
+            q = np.atleast_2d(np.asarray(queries, np.float32))
+            b = q.shape[0]
+            bb = _bucket_batch(b)
+            if bb != b:
+                q = np.concatenate(
+                    [q, np.zeros((bb - b, q.shape[1]), np.float32)]
+                )
+            excl = np.full((bb,), -1, np.int32)
+            if exclude_rows is not None:
+                excl[:b] = np.asarray(exclude_rows, np.int32)
+            return q, excl, b, bb
+        q = jnp.atleast_2d(queries)
+        if q.dtype != jnp.float32:
+            q = q.astype(jnp.float32)
+        b = q.shape[0]
+        if b <= 16:
+            excl = (
+                np.full((b,), -1, np.int32)
+                if exclude_rows is None
+                else jnp.asarray(exclude_rows, jnp.int32)
+            )
+            return q, excl, b, b
+        bb = _bucket_batch(b)
+        if bb != b:
+            q = jnp.zeros((bb, q.shape[1]), jnp.float32).at[:b].set(q)
+            excl = jnp.full((bb,), -1, jnp.int32)
+            if exclude_rows is not None:
+                excl = excl.at[:b].set(
+                    jnp.asarray(exclude_rows, jnp.int32)
+                )
+        else:
+            excl = (
+                np.full((b,), -1, np.int32)
+                if exclude_rows is None
+                else jnp.asarray(exclude_rows, jnp.int32)
+            )
+        return q, excl, b, bb
+
     def __call__(
         self,
         queries: jnp.ndarray,
         k: int,
         exclude_rows: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-        b, f = queries.shape
+        queries, excl, b, bb = self._batch_inputs(queries, exclude_rows)
+        f = queries.shape[1]
         if f != self.feature_dim:
             raise ValueError(
                 f"query dim {f} != catalog dim {self.feature_dim}"
             )
-        excl = (
-            jnp.full((b,), -1, jnp.int32)
-            if exclude_rows is None
-            else jnp.asarray(exclude_rows, jnp.int32)
-        )
         c = min(max(self.config.prefilter, k), self._depth * self.w)
         if k > self._depth * self.w:
-            return self._fallback(queries, k, excl)
-        bb = _bucket_batch(b)
-        if bb != b:
-            queries = jnp.zeros((bb, f), jnp.float32).at[:b].set(queries)
-            excl = jnp.full((bb,), -1, jnp.int32).at[:b].set(excl)
+            return self._fallback(
+                jnp.asarray(queries)[:b], k, jnp.asarray(excl)[:b]
+            )
         tq = min(self.config.query_tile, _round_up(bb, 8))
         tc = self.tc_small if bb <= 16 else self.tc
         cap = min(bb, self.fallback_cap)
+        small = bb <= 16 and self.features_t2_small is not None
         top_s, top_i, ok, overflow = _certified_retrieve(
             queries,
-            self.features_t2,
+            self.features_t2_small if small else self.features_t2,
             self.norms_row,
             self.features32,
             self.norms1d,
@@ -1513,6 +1581,8 @@ class CertifiedRetriever:
             self.fallbacks += int(nfail_h)
         else:
             self._pending.append((overflow, ok))
+        if top_s.shape[0] == b:       # unpadded small batch: skip the
+            return top_s, top_i       # two eager slice dispatches
         return top_s[:b], top_i[:b]
 
     def _handle_overflow(self, queries, k, excl, top_s, top_i):
@@ -1550,31 +1620,26 @@ class CertifiedRetriever:
         """Certified retrieval with results + overflow flag fetched in ONE
         host round trip (serving hot path; each RT costs ~30 ms on
         tunneled backends).  Returns numpy arrays."""
-        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-        b, f = queries.shape
+        q_in, e_in, b, bb = self._batch_inputs(queries, exclude_rows)
+        f = q_in.shape[1]
         if f != self.feature_dim:
             raise ValueError(
                 f"query dim {f} != catalog dim {self.feature_dim}"
             )
-        excl = (
-            jnp.full((b,), -1, jnp.int32)
-            if exclude_rows is None
-            else jnp.asarray(exclude_rows, jnp.int32)
-        )
         c = min(max(self.config.prefilter, k), self._depth * self.w)
         if k > self._depth * self.w:
-            fs, fi = self._fallback(queries, k, excl)
+            fs, fi = self._fallback(
+                jnp.asarray(q_in)[:b], k, jnp.asarray(e_in)[:b]
+            )
             return np.asarray(fs), np.asarray(fi)
-        bb = _bucket_batch(b)
-        q_in, e_in = queries, excl
-        if bb != b:
-            q_in = jnp.zeros((bb, f), jnp.float32).at[:b].set(queries)
-            e_in = jnp.full((bb,), -1, jnp.int32).at[:b].set(excl)
         tq = min(self.config.query_tile, _round_up(bb, 8))
         tc = self.tc_small if bb <= 16 else self.tc
         cap = min(bb, self.fallback_cap)
+        small = bb <= 16 and self.features_t2_small is not None
         top_s, top_i, ok, overflow = _certified_retrieve(
-            q_in, self.features_t2, self.norms_row, self.features32,
+            q_in,
+            self.features_t2_small if small else self.features_t2,
+            self.norms_row, self.features32,
             self.norms1d, e_in, self._valid, jnp.int32(b),
             self._rn_min,
             k=k, c=c, tq=tq, tc=tc, w=self.w,

@@ -232,30 +232,39 @@ class TestNegativeCatalogs:
         assert np.all((got >= 0) & (got < n))
 
 
-class TestDepth2Collision:
-    def test_three_in_one_bin_depth2_forces_fallback(self, rng):
-        """Minimal depth-2 collision: 3 engineered top hits in ONE v3 bin
-        (same lane, same slice-parity).  depth-2 tracking keeps only 2;
-        the per-bin 3rd-best bound must fail the certificate and the
-        fallback must restore exactness."""
+class TestDepthCollision:
+    def _collision_case(self, rng, config, n_hot, k):
+        """Engineer `n_hot` top hits in ONE v3 bin (same lane, same
+        slice-group) — one more than the configured depth can track, so
+        the per-bin (depth+1)-th-best bound must fail the certificate and
+        the fallback must restore exactness."""
         n, f = 8192, 12
         feats = 0.01 * rng.random((n, f)).astype(np.float32) + 0.01
         target = rng.random(f).astype(np.float32) + 1.0
-        cr_probe = CertifiedRetriever(feats, interpret=True)
-        assert cr_probe._depth == 2       # v3 default
+        cr_probe = CertifiedRetriever(feats, config=config, interpret=True)
         w = cr_probe.w
-        hot = [13 + j * w for j in range(3)]
+        hot = [13 + j * w for j in range(n_hot)]
         for rank, col in enumerate(hot):
             feats[col] = target * (1.0 - 1e-4 * rank)
         norms = np.linalg.norm(feats, axis=1).astype(np.float32)
         q = target[None, :]
-        cr = CertifiedRetriever(feats, norms, interpret=True)
-        s, i = cr(q, 3)
-        rs, ri = oracle(q, feats, norms, 3)
+        cr = CertifiedRetriever(feats, norms, config, interpret=True)
+        s, i = cr(q, k)
+        rs, ri = oracle(q, feats, norms, k)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
         np.testing.assert_array_equal(np.asarray(s), np.asarray(rs))
         assert set(hot) == set(np.asarray(i)[0].tolist())
         assert cr.fallbacks >= 1
+
+    def test_three_in_one_bin_depth2_forces_fallback(self, rng):
+        self._collision_case(
+            rng, RetrievalConfig(scan_depth=2), n_hot=3, k=3
+        )
+
+    def test_four_in_one_bin_depth3_default_forces_fallback(self, rng):
+        cfg = RetrievalConfig()
+        assert cfg.scan_depth == 3        # production v3 default
+        self._collision_case(rng, cfg, n_hot=4, k=4)
 
 
 class TestTieSemantics:

@@ -116,6 +116,52 @@ class TestRetrievalParity:
         recs = r.recommend_by_id("id00100", 10)
         assert [x.track_name for x in recs] == expected
 
+    def test_our_preprocessing_gives_same_rankings_at_reference_scale(
+        self, ref_binary, tmp_path
+    ):
+        """Parity at the reference's OWN documented workload scale —
+        114,000 rows / 114 genres (reference README.md:278-284).
+
+        Opt-in (SRT_REFSCALE=1): builds + preprocesses ~114k rows through
+        BOTH engines (~2 min single-threaded reference build), then
+        requires byte-equal catalogs and identical top-25 rankings for a
+        spread of queries.  Run at least once per round; the fast 800-row
+        variants above guard every-commit regressions."""
+        if os.environ.get("SRT_REFSCALE") != "1":
+            pytest.skip("reference-scale differential: set SRT_REFSCALE=1")
+        from spotify_recommender_tpu.core.config import RetrievalConfig
+        from spotify_recommender_tpu.data.catalog import (
+            Catalog, preprocess_csv,
+        )
+        from spotify_recommender_tpu.retrieval.retriever import Retriever
+
+        make_songs_csv(
+            tmp_path / "songs.csv", n_rows=114_000, n_genres=114, seed=7
+        )
+        subprocess.run(
+            [ref_binary, "--preprocess", "songs.csv"],
+            cwd=tmp_path, capture_output=True, text=True, check=True,
+        )
+        ref_cat = Catalog.load_reference_binary(
+            str(tmp_path / "songs_data.bin")
+        )
+        ours = preprocess_csv(str(tmp_path / "songs.csv"))
+        assert len(ours) == len(ref_cat) == 114_000
+        assert ours.genre_names == ref_cat.genre_names
+        assert len(ref_cat.genre_names) == 114
+        np.testing.assert_array_equal(ours.genre_ids, ref_cat.genre_ids)
+        np.testing.assert_allclose(
+            ours.features, ref_cat.features, atol=6.5e-8, rtol=0
+        )
+        r = Retriever(ours, RetrievalConfig(use_pallas=False))
+        for query in ("Song 42", "Song 9999", "Song 113999"):
+            expected = ref_recommendations(
+                ref_binary, tmp_path, query, 25
+            )
+            assert len(expected) == 25
+            recs = r.recommend_by_name(query, 25)
+            assert [x.track_name for x in recs] == expected
+
     def test_our_preprocessing_gives_same_rankings(self, ref_binary, workdir):
         """Full-pipeline differential: reference CSV->bin->rank vs our
         CSV->catalog->rank, no shared artifacts."""
