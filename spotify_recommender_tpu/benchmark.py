@@ -337,6 +337,9 @@ def run_serve_row(
 
         run_round()                       # warm each coalesced bucket
         errors.clear()
+        # percentiles must describe the SAME sample as serve_req_per_s:
+        # drop the warm round's latencies before the measured round
+        svc.reset_latency_stats()
         dt = run_round()
         metrics = svc.metrics()
         ok_reqs = n_clients * reqs_each - len(errors)

@@ -198,11 +198,23 @@ def ingest_csv(csv_path: str, use_native: bool = True) -> RawTable:
     """
     timer = PhaseTimer()
     with timer.phase("read"):
-        with open(csv_path, "r", encoding="utf-8", errors="replace") as f:
-            header_line = f.readline()
-            if not header_line:
-                raise ValueError(f"Empty CSV file: {csv_path}")
-            lines = f.read().splitlines()
+        with open(csv_path, "r", encoding="utf-8", errors="replace",
+                  newline="") as f:
+            content = f.read()
+        if not content:
+            raise ValueError(f"Empty CSV file: {csv_path}")
+        # split on \n ONLY (the reference's getline semantics,
+        # DataManager.cpp:135-142): str.splitlines()/readline would also
+        # break rows at form feeds, unicode line separators, and bare \r,
+        # silently truncating fields that legitimately contain those
+        # characters; trailing \r from CRLF files is trimmed per field
+        # (reference trim, :57-62)
+        nl = content.find("\n")
+        if nl < 0:
+            header_line, lines = content, []
+        else:
+            header_line = content[:nl]
+            lines = content[nl + 1 :].split("\n")
     if use_native:
         try:
             from spotify_recommender_tpu.data import native_ingest

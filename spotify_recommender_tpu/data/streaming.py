@@ -46,17 +46,36 @@ log = get_logger(__name__)
 def iter_csv_chunks(
     csv_path: str, chunk_rows: int
 ) -> Iterator[Tuple[str, List[str]]]:
-    """Yield (header_line, chunk_lines) with ≤ chunk_rows lines per chunk."""
-    with open(csv_path, "r", encoding="utf-8", errors="replace") as f:
-        header = f.readline()
+    """Yield (header_line, chunk_lines) with ≤ chunk_rows lines per chunk.
+
+    Rows split on \\n ONLY (reference getline semantics — see
+    csv_ingest.ingest_csv); ``newline=""`` disables Python's universal-
+    newline translation so fields containing \\r/\\f/unicode separators
+    survive intact, matching the single-shot parse byte for byte."""
+    with open(csv_path, "r", encoding="utf-8", errors="replace",
+              newline="") as f:
+        header_parts: List[str] = []
+        while True:
+            piece = f.readline()
+            header_parts.append(piece)
+            if not piece or piece.endswith("\n"):
+                break
+        header = "".join(header_parts)
         if not header:
             raise ValueError(f"Empty CSV file: {csv_path}")
         chunk: List[str] = []
-        for line in f:
-            chunk.append(line.rstrip("\n").rstrip("\r"))
+        buf: List[str] = []
+        for piece in iter(f.readline, ""):
+            buf.append(piece)
+            if not piece.endswith("\n"):
+                continue          # bare-\r "line": keep accumulating
+            chunk.append("".join(buf).rstrip("\n"))
+            buf = []
             if len(chunk) >= chunk_rows:
                 yield header, chunk
                 chunk = []
+        if buf:
+            chunk.append("".join(buf))
         if chunk:
             yield header, chunk
 

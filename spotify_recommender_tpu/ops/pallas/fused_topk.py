@@ -27,7 +27,9 @@ division; orderings match exactly (tested in tests/test_pallas_topk.py).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -1302,6 +1304,154 @@ def _certified_retrieve(
     return top_s, top_i, ok, overflow
 
 
+@dataclasses.dataclass
+class CertifiedLayout:
+    """Host-side kernel layout for the certified tier.
+
+    Built ONCE per catalog by `build_certified_layout` and shared by the
+    single-chip `CertifiedRetriever` and the multi-chip sharded path
+    (parallel/sharding.py ShardedCatalog) so both always run the SAME
+    kernel generation with the same tuning — the sharded path scales out
+    exactly what the reference runs on one GPU (Recommender.cu:124)."""
+
+    tc: int                 # catalog tile (lane axis)
+    tc_small: int           # big tile for grid-overhead-bound tiny batches
+    w: int                  # scan bin width (multiple of 128)
+    depth: int              # per-bin candidate depth (v3)
+    scan: str               # "v3" (epilogue-free) or "v2"
+    planes: int             # split-plane count of `ft` (4 or 2)
+    np_pad: int             # padded catalog length (columns of `ft`)
+    ft: np.ndarray          # (planes*F, np_pad) fp32 split planes (cast
+                            # to bf16 at device_put)
+    ft_small: Optional[np.ndarray]  # 2-plane slice for the small-batch
+                            # HBM-stream-bound regime, or None
+    nrm_row: np.ndarray     # (1, np_pad) fp32 catalog norms
+    feats32: np.ndarray     # (rows, F) fp32 row-major catalog, rows a
+                            # multiple of the in-jit fallback's 512 block
+    norms1d: np.ndarray     # (rows,) fp32
+    rn_min: float           # min NONZERO norm (v3 certificate guard bound)
+
+
+def build_certified_layout(
+    features: np.ndarray,
+    norms: Optional[np.ndarray],
+    config: RetrievalConfig,
+    *,
+    n_shards: int = 1,
+) -> CertifiedLayout:
+    """Build the certified tier's host-side buffers + tile parameters.
+
+    With ``n_shards > 1`` every padded axis is additionally a multiple of
+    the shard count so each shard's slice tiles evenly by ``tc`` AND by
+    the in-jit oracle fallback's 512-column blocks; the dual small-batch
+    layout is single-chip-only (multi-chip serving batches per shard are
+    already small after data-sharding)."""
+    feats = np.asarray(features, np.float32)
+    n, f = feats.shape
+    if norms is None:
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+    norms = np.asarray(norms, np.float32)
+
+    scan = config.scan
+    depth = config.scan_depth if scan == "v3" else 3
+    if n_shards > 1:
+        tc = min(
+            config.catalog_tile, 128 * max(1, -(-n // (128 * n_shards)))
+        )
+    else:
+        tc = min(config.catalog_tile, _round_up(n, 128))
+    # bin width must divide the tile's 128-lane slice count.  v3 default
+    # W=128 at depth 3: the round-4 sweep measured the scan REGISTER-
+    # PRESSURE-bound, not op-count-bound (docs/PERFORMANCE.md); v2 keeps
+    # its round-3 width of 4.  config.scan_bins overrides for large-k.
+    if scan == "v3":
+        nw = max(1, config.scan_bins // 128) if config.scan_bins else 1
+        if config.scan_bins and (
+            config.scan_bins % 128 or config.scan_bins != 128 * nw
+        ):
+            log.warning(
+                "scan_bins=%d is not a multiple of 128; using W=%d",
+                config.scan_bins, 128 * nw,
+            )
+    else:
+        nw = 4
+    while nw > 1 and (tc // 128) % nw:
+        nw //= 2
+        log.warning(
+            "scan bin count reduced to W=%d (must divide the catalog "
+            "tile's %d lane slices)", 128 * nw, tc // 128,
+        )
+    w = 128 * nw
+
+    # small batches are grid-step-overhead-bound: with the catalog padded
+    # to the LARGE tile, the same buffer serves any dividing tile size,
+    # so tiny batches can run 8x-bigger tiles per call (single-chip only)
+    if n_shards == 1 and n >= 65536:
+        tc_small = max(tc, min(65536, _round_up(n, 128)))
+        if tc_small % tc:
+            tc_small = tc
+    else:
+        tc_small = tc
+
+    if n_shards > 1:
+        # per-shard slice must tile by tc AND by the fallback's 512 blocks
+        unit = math.lcm(tc, 512)
+        chunk = n_shards * unit
+        np_pad = -(-n // chunk) * chunk
+    else:
+        np_pad = _round_up(n, max(tc, tc_small))
+
+    unit_rows = feats / np.maximum(norms, 1e-30)[:, None]
+    hi = unit_rows.astype(np.dtype(jnp.bfloat16))
+    lo = (unit_rows - hi.astype(np.float32)).astype(np.dtype(jnp.bfloat16))
+    hi32 = hi.astype(np.float32).T
+    lo32 = lo.astype(np.float32).T
+    # 4 planes are only free while the contraction stays inside one
+    # 128-wide MXU pass; beyond that (F > 32) the 2-plane layout does
+    # the same number of passes at HALF the bytes streamed
+    planes = 4 if (config.split_planes != 2 and 4 * f <= 128) else 2
+    ft = np.zeros((planes * f, np_pad), np.float32)
+    ft[:f, :n] = hi32
+    ft[f : 2 * f, :n] = lo32
+    if planes == 4:
+        ft[2 * f : 3 * f, :n] = hi32
+        ft[3 * f :, :n] = lo32
+    # dual layout: small batches are HBM-stream-bound, where the 2-plane
+    # [hi, lo] layout halves the bytes per item (two MXU passes instead
+    # of one — the MXU is idle at small B anyway).  Holding both costs
+    # +50% catalog HBM, only worth it from 2M items up (the measured
+    # crossover; see CertifiedRetriever) — single-chip only.
+    ft_small = (
+        ft[: 2 * f] if (n_shards == 1 and planes == 4 and n >= 2_000_000)
+        else None
+    )
+    nrm_row = np.zeros((1, np_pad), np.float32)
+    nrm_row[0, :n] = norms
+
+    # fp32 catalog for the exact rerank + in-jit oracle fallback: padded
+    # so the fallback can reshape scores into 512-column blocks without a
+    # (cap, N)-sized pad copy; sharded layouts pad to the full np_pad so
+    # every shard's row slice is identical and 512-aligned
+    rows = np_pad if n_shards > 1 else _round_up(n, 512)
+    feats32 = np.zeros((rows, f), np.float32)
+    feats32[:n] = feats
+    norms1d = np.zeros((rows,), np.float32)
+    norms1d[:n] = norms
+
+    # minimum NONZERO catalog norm: the v3 certificate's guard bound
+    # (a query can have guarded rows only when qn * rn_min <= eps);
+    # all-zero catalogs never trigger it (every row dots to 0 = its
+    # exact score, so the plain coverage bound is already sound)
+    nz = norms[norms > 0.0]
+    rn_min = float(nz.min()) if nz.size else float(np.finfo(np.float32).max)
+
+    return CertifiedLayout(
+        tc=tc, tc_small=tc_small, w=w, depth=depth, scan=scan,
+        planes=planes, np_pad=np_pad, ft=ft, ft_small=ft_small,
+        nrm_row=nrm_row, feats32=feats32, norms1d=norms1d, rn_min=rn_min,
+    )
+
+
 class CertifiedRetriever:
     """Exact retrieval at approximate-tier speed, with a proof.
 
@@ -1331,99 +1481,22 @@ class CertifiedRetriever:
         n, f = feats.shape
         self.num_items = n
         self.feature_dim = f
-        if norms is None:
-            norms = np.linalg.norm(feats, axis=1).astype(np.float32)
-        norms = np.asarray(norms, np.float32)
-        tc = min(config.catalog_tile, _round_up(n, 128))
-        self._scan = config.scan
-        self._depth = config.scan_depth if config.scan == "v3" else 3
-        # bin width must divide the tile's 128-lane slice count.  v3
-        # default W=128 at depth 3: the round-4 sweep measured the scan
-        # register-pressure-bound, not op-count-bound — W=128/d3 scans
-        # 10M/B=1024 in 31.5 ms vs 46.2 ms for the old W=1024/d2, with 0
-        # measured fallbacks (coverage failure needs >3 of the top-k in
-        # ONE bin, ~1e-4/query at k=10).  config.scan_bins overrides for
-        # large-k workloads (collision rate ~C(k, depth+1)/W^depth).
-        # v2's width was 2 in round 2 and intentionally doubled to 4 in
-        # round 3 (certificate unchanged — it is parameterized by W).
-        if config.scan == "v3":
-            nw = max(1, config.scan_bins // 128) if config.scan_bins else 1
-        else:
-            nw = 4
-        while nw > 1 and (tc // 128) % nw:
-            nw //= 2
-        self.w = 128 * nw
-        self.tc = tc
-        # small batches are grid-step-overhead-bound: with the catalog
-        # padded to the LARGE tile, the same buffer serves any dividing
-        # tile size, so tiny batches can run 8x-bigger tiles per call
-        # with zero extra memory or relayout
-        self.tc_small = (
-            max(tc, min(65536, _round_up(n, 128))) if n >= 65536 else tc
+        lay = build_certified_layout(feats, norms, config)
+        self._scan = lay.scan
+        self._depth = lay.depth
+        self.w = lay.w
+        self.tc = lay.tc
+        self.tc_small = lay.tc_small
+        self.features_t2 = jax.device_put(jnp.asarray(lay.ft, jnp.bfloat16))
+        self.features_t2_small = (
+            jax.device_put(jnp.asarray(lay.ft_small, jnp.bfloat16))
+            if lay.ft_small is not None else None
         )
-        if self.tc_small % tc:
-            self.tc_small = tc
-        np_pad = _round_up(n, max(tc, self.tc_small))
-        unit = feats / np.maximum(norms, 1e-30)[:, None]
-        hi = unit.astype(np.dtype(jnp.bfloat16))
-        lo = (unit - hi.astype(np.float32)).astype(np.dtype(jnp.bfloat16))
-        # 4 planes are only free while the contraction stays inside one
-        # 128-wide MXU pass; beyond that (F > 32) the 2-plane layout does
-        # the same number of passes at HALF the bytes streamed
-        planes = 4 if (config.split_planes != 2 and 4 * f <= 128) else 2
-        hi32 = hi.astype(np.float32).T
-        lo32 = lo.astype(np.float32).T
-        if planes == 4:
-            # [hi, lo, hi, lo] paired with query [qh, ql, ql, qh]: ONE
-            # 4F-wide MXU pass covers all four split products — the
-            # contraction is idle below 128 anyway, so doubling stored
-            # bytes (96 B/item = 2x fp32) buys back a second dot pass
-            ft = np.zeros((4 * f, np_pad), np.float32)
-            ft[:f, :n] = hi32
-            ft[f : 2 * f, :n] = lo32
-            ft[2 * f : 3 * f, :n] = hi32
-            ft[3 * f :, :n] = lo32
-        else:
-            # [hi, lo]: half the bytes, two MXU passes — for the
-            # HBM-stream-bound small-batch/large-catalog regime
-            ft = np.zeros((2 * f, np_pad), np.float32)
-            ft[:f, :n] = hi32
-            ft[f:, :n] = lo32
-        nrm = np.zeros((1, np_pad), np.float32)
-        nrm[0, :n] = norms
-        self.features_t2 = jax.device_put(jnp.asarray(ft, jnp.bfloat16))
-        # dual layout: small batches are HBM-stream-bound, where the
-        # 2-plane [hi, lo] layout halves the bytes per item (two MXU
-        # passes instead of one — the MXU is idle at small B anyway).
-        # Holding both costs +50% catalog HBM, only worth it at scale.
-        self.features_t2_small = None
-        if planes == 4 and n >= 2_000_000:
-            self.features_t2_small = jax.device_put(
-                jnp.asarray(ft[: 2 * f], jnp.bfloat16)
-            )
-        self.norms_row = jax.device_put(nrm)
-        # fp32 catalog padded to the fallback block (512): the in-jit
-        # oracle fallback can then reshape scores blockwise without a
-        # (cap, N)-sized pad copy; pad rows are masked alongside the
-        # exclusion mask (zero extra passes)
-        pad512 = (-n) % 512
-        feats_p = np.concatenate(
-            [feats, np.zeros((pad512, f), np.float32)], axis=0
-        ) if pad512 else feats
-        norms_p512 = np.concatenate(
-            [norms, np.zeros(pad512, np.float32)]
-        ) if pad512 else norms
-        self.features32 = jax.device_put(jnp.asarray(feats_p))
-        self.norms1d = jax.device_put(jnp.asarray(norms_p512))
+        self.norms_row = jax.device_put(lay.nrm_row)
+        self.features32 = jax.device_put(jnp.asarray(lay.feats32))
+        self.norms1d = jax.device_put(jnp.asarray(lay.norms1d))
         self._valid = jnp.full((1, 1), n, jnp.int32)
-        # minimum NONZERO catalog norm: the v3 certificate's guard bound
-        # (a query can have guarded rows only when qn * rn_min <= eps);
-        # all-zero catalogs never trigger it (every row dots to 0 = its
-        # exact score, so the plain coverage bound is already sound)
-        nz = norms[norms > 0.0]
-        self._rn_min = jnp.float32(
-            float(nz.min()) if nz.size else np.finfo(np.float32).max
-        )
+        self._rn_min = jnp.float32(lay.rn_min)
         self.fallbacks = 0   # observability: certificate-failure count
         # in-jit oracle fallback capacity: bounds the (cap, N) score
         # matrix the fallback branch may materialize (32 x 1M fp32 =
@@ -1443,6 +1516,20 @@ class CertifiedRetriever:
         # verify_no_overflow() after the timed loop
         self.sync_check = sync_check
         self._pending: list = []
+
+    def _warn_large_k(self, k: int) -> None:
+        """k beyond the scan structure's depth*W capacity silently takes
+        the full oracle path — a large latency cliff.  Log ONCE, pointing
+        at the knobs that raise the capacity."""
+        if not getattr(self, "_large_k_warned", False):
+            self._large_k_warned = True
+            log.warning(
+                "k=%d exceeds the certified scan capacity depth*W=%d; "
+                "falling back to the full oracle (slower).  Raise "
+                "RetrievalConfig.scan_bins (W) and/or scan_depth to keep "
+                "large-k retrievals on the certified tier.",
+                k, self._depth * self.w,
+            )
 
     def _fallback(self, queries, k, exclude_rows):
         """Oracle-exact retrieval for certificate-failing queries.
@@ -1540,6 +1627,7 @@ class CertifiedRetriever:
             )
         c = min(max(self.config.prefilter, k), self._depth * self.w)
         if k > self._depth * self.w:
+            self._warn_large_k(k)
             return self._fallback(
                 jnp.asarray(queries)[:b], k, jnp.asarray(excl)[:b]
             )
@@ -1575,7 +1663,7 @@ class CertifiedRetriever:
             )
             if bool(overflow_h):
                 s_o, i_o = self._handle_overflow(
-                    queries, k, excl, top_s, top_i
+                    queries, k, excl, top_s, top_i, nreal=b
                 )
                 return s_o[:b], i_o[:b]
             self.fallbacks += int(nfail_h)
@@ -1585,13 +1673,20 @@ class CertifiedRetriever:
             return top_s, top_i       # two eager slice dispatches
         return top_s[:b], top_i[:b]
 
-    def _handle_overflow(self, queries, k, excl, top_s, top_i):
+    def _handle_overflow(self, queries, k, excl, top_s, top_i, nreal=None):
         """>fallback_cap ambiguous queries in one batch: rerun ALL
         certificate failures through the host-side oracle (slow, correct,
-        ~never taken — requires >cap sub-2e-6 near-ties at once)."""
+        ~never taken — requires >cap sub-2e-6 near-ties at once).
+
+        `nreal` is the TRUE batch size: bucket-pad rows beyond it are
+        exempted from the certificate (their outputs are discarded by the
+        caller) so they neither get oracle-rescored nor inflate
+        self.fallbacks."""
+        if nreal is None:
+            nreal = queries.shape[0]
         _, _, ok, _ = _certified_retrieve(
             queries, self.features_t2, self.norms_row, self.features32,
-            self.norms1d, excl, self._valid, jnp.int32(queries.shape[0]),
+            self.norms1d, excl, self._valid, jnp.int32(nreal),
             self._rn_min,
             k=k, c=min(max(self.config.prefilter, k), self._depth * self.w),
             tq=min(self.config.query_tile, _round_up(queries.shape[0], 8)),
@@ -1628,6 +1723,7 @@ class CertifiedRetriever:
             )
         c = min(max(self.config.prefilter, k), self._depth * self.w)
         if k > self._depth * self.w:
+            self._warn_large_k(k)
             fs, fi = self._fallback(
                 jnp.asarray(q_in)[:b], k, jnp.asarray(e_in)[:b]
             )
@@ -1653,7 +1749,9 @@ class CertifiedRetriever:
             (top_s, top_i, overflow, jnp.sum((~ok).astype(jnp.int32)))
         )
         if bool(overflow_h):
-            s_o, i_o = self._handle_overflow(q_in, k, e_in, top_s, top_i)
+            s_o, i_o = self._handle_overflow(
+                q_in, k, e_in, top_s, top_i, nreal=b
+            )
             return np.asarray(s_o)[:b], np.asarray(i_o)[:b]
         self.fallbacks += int(nfail_h)
         return s_h[:b], i_h[:b]

@@ -21,8 +21,9 @@ enter a top-k.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
-from typing import Optional, Tuple
+from typing import TYPE_CHECKING, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spotify_recommender_tpu.core.config import COSINE_EPS
 from spotify_recommender_tpu.core.logging import get_logger
+
+if TYPE_CHECKING:
+    from spotify_recommender_tpu.core.config import RetrievalConfig
 from spotify_recommender_tpu.ops import similarity
 from spotify_recommender_tpu.ops.topk import merge_topk_deterministic
 
@@ -193,6 +197,9 @@ def _local_certified_topk(
     bitexact: bool,
     interpret: bool,
     axis_name: str,
+    scan: str = "v3",
+    depth: int = 3,
+    rn_min: float = 0.0,
     sum_axes: Tuple[str, ...] = (),
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """shard_map body: the CERTIFIED tier per shard (scan -> in-kernel
@@ -200,7 +207,15 @@ def _local_certified_topk(
     local), then allgather + deterministic merge.  Each shard's local
     top-k is exact, so the merged global top-k is exact; per-shard
     fallback-capacity overflows are psum'd out for the (rare) host-side
-    redo through the oracle sharded path."""
+    redo through the oracle sharded path.
+
+    Runs the SAME kernel generation as the single-chip CertifiedRetriever
+    (scan="v3" epilogue-free bin scan by default, configurable depth/W) —
+    the tuning flows from one RetrievalConfig through
+    `build_certified_layout`, so multi-chip never lags the single-chip
+    kernel.  `rn_min` is the GLOBAL minimum nonzero catalog norm: using
+    it per shard is conservative (a shard whose local minimum is larger
+    can only fall back more often, never certify unsoundly)."""
     from spotify_recommender_tpu.ops.pallas.fused_topk import (
         _certified_retrieve,
     )
@@ -223,9 +238,11 @@ def _local_certified_topk(
         excl_local,
         valid_local,
         jnp.int32(queries.shape[0]),
-        k=k_local, c=min(max(c, k_local), 3 * w), tq=tq, tc=tc, w=w,
+        jnp.float32(rn_min),
+        k=k_local, c=min(max(c, k_local), depth * w), tq=tq, tc=tc, w=w,
         eps=eps, ceps=ceps, fallback_cap=cap,
         bitexact_rerank=bitexact, interpret=interpret,
+        scan=scan, depth=depth,
     )
     cand_s = jax.lax.all_gather(local_s, axis_name, axis=1, tiled=True)
     cand_i = jax.lax.all_gather(
@@ -258,13 +275,24 @@ class ShardedCatalog:
         eps: float = COSINE_EPS,
         use_pallas: bool = False,
         use_certified: bool = False,
-        query_tile: int = 512,
-        catalog_tile: int = 8192,
+        query_tile: Optional[int] = None,
+        catalog_tile: Optional[int] = None,
         exact: bool = True,
         interpret: bool = False,
-        prefilter: int = 32,
+        prefilter: Optional[int] = None,
         data_axis: Optional[str] = None,
+        config: Optional["RetrievalConfig"] = None,
     ) -> None:
+        from spotify_recommender_tpu.core.config import RetrievalConfig
+
+        config = config or RetrievalConfig()
+        if query_tile is not None:
+            config = dataclasses.replace(config, query_tile=query_tile)
+        if catalog_tile is not None:
+            config = dataclasses.replace(config, catalog_tile=catalog_tile)
+        if prefilter is not None:
+            config = dataclasses.replace(config, prefilter=prefilter)
+        self.config = config
         self.mesh = mesh
         self.axis_name = axis_name
         # 2-D data x catalog parallelism: with `data_axis` set (and the
@@ -280,61 +308,45 @@ class ShardedCatalog:
         self.use_certified = use_certified
         self.exact = exact
         self.interpret = interpret
-        self.prefilter = prefilter
+        self.prefilter = config.prefilter
         self.num_items = features.shape[0]
         n_shards = mesh.shape[axis_name]
         feats = np.asarray(features, np.float32)
         nrm_1d = np.asarray(norms, np.float32)
         if use_certified:
-            import math
+            from spotify_recommender_tpu.ops.pallas.fused_topk import (
+                build_certified_layout,
+            )
 
-            from jax.experimental import pallas  # noqa: F401 (backend check)
-
-            f = feats.shape[1]
-            self.tq = query_tile
-            tc = min(catalog_tile, 128 * max(1, -(-self.num_items // (128 * n_shards))))
-            # per-shard slice must tile by tc AND by the in-jit fallback's
-            # 512-column blocks
-            unit = math.lcm(tc, 512)
-            chunk = n_shards * unit
-            np_pad = -(-self.num_items // chunk) * chunk
-            self.tc = tc
-            nw = 2 if (tc // 128) % 2 == 0 else 1
-            self.w = 128 * nw
-            unitv = feats / np.maximum(nrm_1d, 1e-30)[:, None]
-            hi = unitv.astype(np.dtype(jnp.bfloat16))
-            lo = (unitv - hi.astype(np.float32)).astype(np.dtype(jnp.bfloat16))
-            hi32 = hi.astype(np.float32).T
-            lo32 = lo.astype(np.float32).T
-            planes = 4 if 4 * f <= 128 else 2
-            ft = np.zeros((planes * f, np_pad), np.float32)
-            ft[:f, : self.num_items] = hi32
-            ft[f : 2 * f, : self.num_items] = lo32
-            if planes == 4:
-                ft[2 * f : 3 * f, : self.num_items] = hi32
-                ft[3 * f :, : self.num_items] = lo32
-            nrm = np.zeros((1, np_pad), np.float32)
-            nrm[0, : self.num_items] = nrm_1d
-            f32p = np.zeros((np_pad, f), np.float32)
-            f32p[: self.num_items] = feats
-            n1p = np.zeros(np_pad, np.float32)
-            n1p[: self.num_items] = nrm_1d
+            # SAME layout builder (and therefore the same kernel
+            # generation + tuning) as the single-chip CertifiedRetriever
+            lay = build_certified_layout(
+                feats, nrm_1d, config, n_shards=n_shards
+            )
+            self.tq = config.query_tile
+            self.tc = lay.tc
+            self.w = lay.w
+            self.scan = lay.scan
+            self.depth = lay.depth
+            self.rn_min = lay.rn_min
             self.features = jax.device_put(
-                jnp.asarray(ft, jnp.bfloat16),
+                jnp.asarray(lay.ft, jnp.bfloat16),
                 NamedSharding(mesh, P(None, axis_name)),
             )
             self.norms = jax.device_put(
-                nrm, NamedSharding(mesh, P(None, axis_name))
+                lay.nrm_row, NamedSharding(mesh, P(None, axis_name))
             )
             self.features32 = jax.device_put(
-                f32p, NamedSharding(mesh, P(axis_name, None))
+                lay.feats32, NamedSharding(mesh, P(axis_name, None))
             )
             self.norms1d = jax.device_put(
-                n1p, NamedSharding(mesh, P(axis_name))
+                lay.norms1d, NamedSharding(mesh, P(axis_name))
             )
-            self.n_local = np_pad // n_shards
+            self.n_local = lay.np_pad // n_shards
             self.cap = max(1, min(32, 128_000_000 // max(1, self.n_local)))
         elif use_pallas:
+            query_tile = config.query_tile
+            catalog_tile = config.catalog_tile
             # per-shard kernel layout: (F, Np) with Np a multiple of
             # n_shards * tc so every shard's slice tiles evenly
             self.tc = min(catalog_tile, 128 * max(1, -(-self.num_items // (128 * n_shards))))
@@ -403,11 +415,14 @@ class ShardedCatalog:
                 tc=self.tc,
                 w=self.w,
                 eps=self.eps,
-                ceps=float(BF16X2_EPS),
+                ceps=float(max(self.config.certify_eps, BF16X2_EPS)),
                 cap=self.cap,
                 bitexact=jax.default_backend() == "tpu",
                 interpret=self.interpret,
                 axis_name=self.axis_name,
+                scan=self.scan,
+                depth=self.depth,
+                rn_min=self.rn_min,
                 sum_axes=(
                     (self.data_axis, self.axis_name)
                     if self.data_axis else ()

@@ -238,6 +238,15 @@ class RecommenderService:
             self._lat_ring[self._lat_n % len(self._lat_ring)] = dt
             self._lat_n += 1
 
+    def reset_latency_stats(self) -> None:
+        """Drop recorded latencies/counters (e.g. after a warm-up round,
+        so percentiles describe only the measured traffic)."""
+        with self._lock:
+            self._stats = {
+                "requests": 0, "errors": 0, "total_latency_s": 0.0
+            }
+            self._lat_n = 0
+
     def latency_percentiles(self) -> dict:
         """p50/p95/p99 over the last <=8192 recorded request latencies."""
         with self._lock:

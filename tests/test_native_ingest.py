@@ -109,3 +109,26 @@ class TestThreadDeterminism:
         assert t1.genre_names == t8.genre_names
         np.testing.assert_array_equal(t1.genre_ids, t8.genre_ids)
         np.testing.assert_array_equal(t1.raw_features, t8.raw_features)
+
+
+def test_messy_csv_native_matches_python(tmp_path):
+    """Native tokenizer vs the Python oracle on the full messy fixture
+    (quotes/unicode/CRLF/control chars/bad numerics — see conftest)."""
+    from conftest import make_messy_songs_csv
+    from spotify_recommender_tpu.data import csv_ingest, native_ingest
+
+    if not native_ingest.available():
+        pytest.skip("native parser not built")
+    path, n_expected = make_messy_songs_csv(tmp_path / "m.csv", n_clean=500)
+    data = path.read_bytes()
+    nat = native_ingest.parse_csv_buffer(data)
+    text = data.decode("utf-8")
+    nl = text.find("\n")
+    py = csv_ingest.parse_csv_rows(text[:nl], text[nl + 1 :].split("\n"))
+    assert nat.num_valid_rows == py.num_valid_rows == n_expected
+    assert list(nat.track_ids) == list(py.track_ids)
+    assert list(nat.track_names) == list(py.track_names)
+    assert list(nat.artists) == list(py.artists)
+    assert nat.genre_names == py.genre_names
+    np.testing.assert_array_equal(nat.genre_ids, py.genre_ids)
+    np.testing.assert_array_equal(nat.raw_features, py.raw_features)
