@@ -84,17 +84,13 @@ def run_benchmark(
                 fr = FusedRetriever(feats, norms)
                 chosen = "pallas"
             elif backend == "bf16":
-                from spotify_recommender_tpu.core.config import (
-                    RetrievalConfig,
-                )
+                # round-5 approx tier: the v3 scan kernel without
+                # rerank/certificate — strictly less work than certified
                 from spotify_recommender_tpu.ops.pallas.fused_topk import (
-                    FusedRetriever,
+                    ApproxRetriever,
                 )
 
-                fr = FusedRetriever(
-                    feats, norms,
-                    RetrievalConfig(dtype="bfloat16", exact_scores=False),
-                )
+                fr = ApproxRetriever(feats, norms)
                 chosen = "bf16-approx"
             else:
                 # default exact path: certified bf16x2 prefilter + exact

@@ -17,6 +17,7 @@ reference's pinned ``songs_data.bin``, main.cpp:11) but is configurable.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List, Optional
 
@@ -95,6 +96,17 @@ def cmd_preprocess(
     elif fmt == "bin":
         cat = preprocess_csv(csv_path, None)
         cat.save_reference_binary(output)
+    elif fmt == "sharded":
+        # OCDBT sharded artifact: the multi-host catalog format (restores
+        # straight onto a jax Mesh; see data/sharded_catalog.py)
+        from spotify_recommender_tpu.data.sharded_catalog import (
+            save_sharded_catalog,
+        )
+
+        out_dir = output[:-4] if output.endswith(".npz") else output
+        cat = preprocess_csv(csv_path, None)
+        save_sharded_catalog(cat, out_dir)
+        output = out_dir
     else:
         cat = preprocess_csv(csv_path, output)
     print(f"Valid songs: {len(cat)}")
@@ -155,6 +167,63 @@ def cmd_recommend(
     return 0
 
 
+def _retrieve_from_sharded_artifact(args, queries) -> int:
+    """retrieve --catalog <ocdbt-dir> [--mesh catalog=N]: restore the
+    sharded artifact onto the mesh and run the certified sharded tier
+    with device-side per-shard relayout (no host gather)."""
+    import json
+
+    import numpy as np
+
+    from spotify_recommender_tpu.data.sharded_catalog import (
+        load_sharded_catalog,
+    )
+    from spotify_recommender_tpu.parallel.sharding import ShardedCatalog
+
+    mesh = _parse_mesh(args.mesh)
+    if mesh is None:
+        import jax
+
+        from spotify_recommender_tpu.core.config import MeshConfig
+        from spotify_recommender_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh(MeshConfig(data=1, catalog=len(jax.devices())))
+    import jax as _jax
+
+    art = load_sharded_catalog(args.catalog, mesh)
+    # compiled Mosaic kernels on TPU; interpret-mode Pallas elsewhere
+    sc = ShardedCatalog.from_artifact(
+        art, mesh, interpret=_jax.default_backend() != "tpu"
+    )
+    scores, rows = sc.retrieve(np.asarray(queries, np.float32), args.k)
+    scores, rows = np.asarray(scores), np.asarray(rows)
+    track_ids = art.host_column("track_ids")
+    if args.output:
+        np.savez_compressed(
+            args.output,
+            scores=scores,
+            rows=rows,
+            track_ids=track_ids[rows].astype(np.str_),
+        )
+        print(
+            f"retrieved top-{args.k} for {len(queries)} queries "
+            f"-> {args.output}"
+        )
+    else:
+        for b in range(len(queries)):
+            print(
+                json.dumps(
+                    {
+                        "query": b,
+                        "rows": rows[b].tolist(),
+                        "scores": [round(float(s), 6) for s in scores[b]],
+                        "track_ids": [str(t) for t in track_ids[rows[b]]],
+                    }
+                )
+            )
+    return 0
+
+
 def cmd_retrieve(args) -> int:
     import json
 
@@ -167,6 +236,12 @@ def cmd_retrieve(args) -> int:
     else:
         with np.load(args.queries) as z:
             queries = z["queries"]
+    if os.path.isdir(args.catalog) and os.path.exists(
+        os.path.join(args.catalog, "meta.json")
+    ):
+        # OCDBT sharded artifact -> mesh restore -> certified sharded
+        # retrieval, end to end without a full host materialization
+        return _retrieve_from_sharded_artifact(args, queries)
     cat = _load_catalog(args.catalog)
     if args.streaming:
         from spotify_recommender_tpu.retrieval.streaming_retriever import (
@@ -391,7 +466,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("csv")
     sp.add_argument("-o", "--output", default=DEFAULT_CATALOG)
     sp.add_argument(
-        "--format", dest="fmt", default="npz", choices=["npz", "dir", "bin"],
+        "--format", dest="fmt", default="npz",
+        choices=["npz", "dir", "bin", "sharded"],
         help="npz (compressed, default) | dir (memory-mapped directory, "
              "O(0) load for multi-GB catalogs) | bin (legacy reference "
              "songs_data.bin)",

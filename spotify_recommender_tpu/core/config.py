@@ -92,11 +92,14 @@ class RetrievalConfig:
     # with the in-scan cosine epilogue.
     scan: str = "v3"
     # v3 bin depth: each bin keeps its top-`scan_depth` candidates plus a
-    # (depth+1)-th-best coverage bound.  3 makes a coverage failure (>3 of
-    # the true top-k in one bin) a ~1e-4/query event at k=10, W=128 —
-    # measured 0 fallbacks/1024 queries at 10M items (round-4 sweep,
+    # (depth+1)-th-best coverage bound.  Production default is the
+    # round-5 depth-2 + escalate-3 pair: the depth-2 scan runs ~25-30%
+    # faster than depth-3 (register pressure, round-4 sweep) and its
+    # ~1.5% per-query coverage failures are re-certified by the in-jit
+    # depth-3 escalation rescan instead of the oracle (round-5 sweep:
+    # 10M/B=1024 34.5 -> 25.9 ms, 0 oracle fallbacks; both sweeps in
     # docs/PERFORMANCE.md).
-    scan_depth: int = 3
+    scan_depth: int = 2
     # v3 bin count W (0 = auto: 128).  Fewer bins = fewer live vector
     # registers in the scan loop (the round-4 sweep measured depth-3
     # W=128 at 68% the scan time of depth-2 W=1024 — register pressure,
@@ -105,6 +108,14 @@ class RetrievalConfig:
     # Large-k workloads (k >> 10) should raise this: the collision rate
     # grows ~C(k, depth+1) / W^depth.
     scan_bins: int = 0
+    # Depth-escalation rescan (v3 only; 0 = disabled): certificate-
+    # failing queries are re-scanned in-jit at THIS deeper bin depth
+    # (catalog streamed once more for the <= 32 failing queries) before
+    # any oracle fallback.  Lets a shallow fast production scan
+    # (scan_depth=2 runs ~30% faster than 3; round-4/5 sweeps in
+    # docs/PERFORMANCE.md) keep exactness without the fallback-capacity
+    # cliff: zero-failure batches skip the rescan entirely (lax.cond).
+    scan_escalate: int = 3
     # bf16x2 catalog layout: 4 planes [hi,lo,hi,lo] = ONE MXU dot pass
     # (fastest for batched serving, 96 B/item); 2 planes [hi,lo] = TWO
     # dot passes but half the bytes — better for the HBM-stream-bound

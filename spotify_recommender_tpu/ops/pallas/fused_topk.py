@@ -529,6 +529,11 @@ class PrefilterRetriever:
     Not exactness-guaranteed (a true top-k item can in principle fall
     outside the bf16 top-C), so the exact single-phase kernel remains the
     default; measured recall is reported by the test suite and benchmark.
+
+    SUPERSEDED (round 5): both phases are outperformed by newer tiers —
+    `CertifiedRetriever` delivers guaranteed-exact results FASTER than
+    this tier's round-1 tournament prefilter (BENCH_r04), and
+    `ApproxRetriever` is the speed tier.  Kept for API compatibility.
     """
 
     def __init__(
@@ -564,6 +569,131 @@ class PrefilterRetriever:
         return _exact_rerank(
             queries, cand, self._features, self._norms, k=k, eps=self.eps
         )
+
+
+# ===========================================================================
+# Approximate tier: the v3 bin-scan kernel WITHOUT rerank or certificate
+# ===========================================================================
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "c", "tq", "tc", "w", "depth", "interpret"),
+)
+def _approx_retrieve(
+    queries,        # (B, F) fp32 raw queries (may be bucket-padded)
+    features_t2,    # (planes*F, Np) bf16 split planes, prenormalized rows
+    excl,           # (B,) int32 excluded rows (-1 = none)
+    valid,          # (1, 1) int32 valid row count
+    *,
+    k: int,
+    c: int,
+    tq: int,
+    tc: int,
+    w: int,
+    depth: int,
+    interpret: bool = False,
+):
+    """Approximate top-k: ONE scan-kernel dispatch, no rerank, no
+    certificate, no fp32 catalog in HBM.  Scores are the bf16x2
+    split-plane cosines (|err| <= BF16X2_EPS ~= 2e-5; exact zeros for
+    guarded rows since zero/tiny-norm rows are stored as zero vectors).
+    Exclusion and padding are masked on the (B, C) candidate structure
+    after the kernel (the v3 scan itself carries no masks)."""
+    b, f = queries.shape
+    bp = _round_up(b, tq)
+    q_pad = jnp.zeros((bp, f), jnp.float32).at[:b].set(queries)
+    qn = jnp.linalg.norm(q_pad, axis=1, keepdims=True)
+    qunit = q_pad / jnp.maximum(qn, jnp.float32(1e-30))
+    qh = qunit.astype(jnp.bfloat16)
+    ql = (qunit - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+    q2 = jnp.concatenate([qh, ql, ql, qh], axis=1)
+    a_s, cand, _ = _scan_call_v3(
+        q2, features_t2, tq=tq, tc=tc, w=w, depth=depth, topc=c,
+        interpret=interpret,
+    )
+    a_s, cand = a_s[:b], cand[:b]
+    bad = (
+        (cand < 0)
+        | (cand >= valid[0, 0])
+        | (cand == excl[:, None].astype(jnp.int32))
+    )
+    a_s = jnp.where(bad, NEG_INF, jnp.clip(a_s, -1.0, 1.0))
+    top_s, pos = jax.lax.top_k(a_s, k)
+    return top_s, jnp.take_along_axis(cand, pos, axis=1)
+
+
+class ApproxRetriever:
+    """Speed tier: the v3 bin-scan kernel alone (round 5).
+
+    Same split-plane scan as the certified tier but WITHOUT the exact
+    rerank, certificate, or fp32 catalog copy — strictly less work and
+    ~2/3 the HBM footprint, for callers that accept ~2e-5 score error
+    and miss-probability ~C(k, depth+1)/W^depth per query (recall@10
+    measured >= 0.999 on the benchmark workload; tests/test_pallas_topk
+    reports it).  Supersedes the round-1 bf16 tournament kernel
+    (`FusedRetriever(dtype="bfloat16")`) and `PrefilterRetriever`, which
+    benchmarked SLOWER than the certified tier (BENCH_r04)."""
+
+    def __init__(
+        self,
+        features: np.ndarray,
+        norms: Optional[np.ndarray] = None,
+        config: Optional[RetrievalConfig] = None,
+        interpret: bool = False,
+    ) -> None:
+        config = config or RetrievalConfig()
+        self.config = config
+        self.interpret = interpret
+        feats = np.asarray(features, np.float32)
+        n, f = feats.shape
+        self.num_items = n
+        self.feature_dim = f
+        lay = build_certified_layout(feats, norms, config)
+        self._depth = lay.depth
+        self.w = lay.w
+        self.tc = lay.tc
+        self.tc_small = lay.tc_small
+        self.features_t2 = jax.device_put(jnp.asarray(lay.ft, jnp.bfloat16))
+        self._valid = jnp.full((1, 1), n, jnp.int32)
+
+    def __call__(
+        self,
+        queries: jnp.ndarray,
+        k: int,
+        exclude_rows: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        b, f = queries.shape
+        if f != self.feature_dim:
+            raise ValueError(
+                f"query dim {f} != catalog dim {self.feature_dim}"
+            )
+        bb = _bucket_batch(b)
+        if bb != b:
+            queries = jnp.zeros((bb, f), jnp.float32).at[:b].set(queries)
+        excl = jnp.full((bb,), -1, jnp.int32)
+        if exclude_rows is not None:
+            excl = excl.at[:b].set(
+                jnp.asarray(exclude_rows, jnp.int32)
+            )
+        if k > self._depth * self.w:
+            raise ValueError(
+                f"k={k} exceeds the approx scan capacity depth*W="
+                f"{self._depth * self.w}; raise RetrievalConfig.scan_bins "
+                "and/or scan_depth (or use the certified tier, which "
+                "falls back to the oracle for large k)"
+            )
+        # a few extra candidates so post-kernel masking can't starve k
+        c = min(max(k + 8, self.config.prefilter), self._depth * self.w)
+        tq = min(self.config.query_tile, _round_up(bb, 8))
+        tc = self.tc_small if bb <= 16 else self.tc
+        top_s, top_i = _approx_retrieve(
+            queries, self.features_t2, excl, self._valid,
+            k=k, c=c, tq=tq, tc=tc, w=self.w, depth=self._depth,
+            interpret=self.interpret,
+        )
+        return top_s[:b], top_i[:b]
 
 
 # ===========================================================================
@@ -1048,11 +1178,114 @@ def _scan_call_v3(
     )(queries_p, features_t)
 
 
+def _rerank_certify(
+    queries,        # (m, F) fp32 raw queries
+    qn1,            # (m,) fp32 query norms
+    a_s,            # (m, C) approx candidate scores (extraction order)
+    cand,           # (m, C) candidate global indices (extraction order)
+    cb,             # (m, 1) coverage bound
+    excl,           # (m,) int32 excluded rows
+    features32,     # (N, F) fp32 row-major catalog
+    norms1d,        # (N,) fp32
+    nvalid_rows,    # () int32 true item count
+    rn_min,         # () fp32 min nonzero catalog norm, or None
+    *,
+    k: int,
+    c: int,
+    eps: float,
+    ceps: float,
+    scan: str,
+    bitexact_rerank: bool,
+):
+    """Exact fp32 rerank of scan candidates + per-query certificate.
+
+    Shared by the main certified pass and the depth-escalation rescan
+    (same math, different candidate sets).  Returns (top_s, top_i, ok).
+    See `_certified_retrieve` for the certificate's soundness argument.
+    """
+    m, f = queries.shape
+    # ascending-index candidate order => lax.top_k's earlier-position tie
+    # preference reproduces the reference's lowest-index rule
+    order = jnp.argsort(jnp.where(cand < 0, _BIG_I32, cand), axis=1)
+    cand = jnp.take_along_axis(cand, order, axis=1)
+    safe = jnp.clip(cand, 0, features32.shape[0] - 1)
+    rn = norms1d[safe]
+    # rerank dots as PLAIN 2-D (rows, F) x (F, cols) matmuls over gathered
+    # candidate columns — the same HLO shape class as the oracle's
+    # catalog matmul, whose per-element fp32 accumulation is
+    # shape-independent on TPU => rerank scores are bitwise the oracle's
+    # (the order-safety foundation; see RERANK_ULP note above).  Grouped
+    # so the (g, g*C) block product stays small.
+    gsz = min(m, 512)
+    bp2 = _round_up(m, gsz)
+    q_p2 = jnp.zeros((bp2, f), jnp.float32).at[:m].set(queries)
+    safe_p = jnp.zeros((bp2, c), jnp.int32).at[:m].set(safe)
+    group_dots = []
+    diag = (
+        jnp.arange(gsz, dtype=jnp.int32)[:, None] * c
+        + jnp.arange(c, dtype=jnp.int32)[None, :]
+    )
+    for g in range(bp2 // gsz):
+        rows_g = safe_p[g * gsz : (g + 1) * gsz]            # (gsz, C)
+        cols_g = features32[rows_g.reshape(-1)].T           # (F, gsz*C)
+        d_g = jnp.dot(
+            q_p2[g * gsz : (g + 1) * gsz], cols_g,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                   # (gsz, gsz*C)
+        group_dots.append(jnp.take_along_axis(d_g, diag, axis=1))
+    dots = jnp.concatenate(group_dots, axis=0)[:m]          # (m, C)
+    den = qn1[:, None] * rn
+    guard = den > jnp.float32(eps)
+    ex = jnp.where(
+        guard,
+        jnp.clip(dots / jnp.where(guard, den, 1.0), -1.0, 1.0),
+        0.0,
+    )
+    bad_cand = cand < 0
+    if scan == "v3":
+        # the v3 scan carries no masks: drop the query's own row and any
+        # pad columns (index >= valid) here, at (m, C) cost
+        bad_cand = (
+            bad_cand
+            | (cand >= nvalid_rows)
+            | (cand == excl[:, None].astype(jnp.int32))
+        )
+    ex = jnp.where(bad_cand, NEG_INF, ex)
+    kk = min(k + 1, c)
+    top_s1, p2 = jax.lax.top_k(ex, kk)
+    top_i = jnp.take_along_axis(cand, p2, axis=1)[:, :k]
+    top_s = top_s1[:, :k]
+    s_k = top_s[:, k - 1]
+    a_c = a_s[:, c - 1]
+    v4max = cb[:, 0]
+    # coverage: every non-candidate's exact score provably < s_k
+    ok = jnp.maximum(a_c, v4max) + jnp.float32(ceps) < s_k
+    if scan == "v3" and rn_min is not None:
+        # guard-awareness (see _certified_retrieve docstring): v3 approx
+        # scores do NOT bound exact scores for guarded rows (exact = 0
+        # regardless of cosine), so when a guardable row can exist
+        # require s_k > 0
+        guard_possible = qn1 * rn_min <= jnp.float32(eps)
+        ok = ok & (~guard_possible | (s_k > jnp.float32(0.0)))
+    # order safety: on TPU the rerank is oracle-bitwise (see above) so
+    # candidate ordering is certified unconditionally; elsewhere adjacent
+    # top-(k+1) exact scores must be separated by more than any legal
+    # fp32 re-summation disagreement, else the order is implementation-
+    # ambiguous -> fall back
+    if not bitexact_rerank:
+        gaps_ok = jnp.all(
+            top_s1[:, :-1] - top_s1[:, 1:] > 2.0 * RERANK_ULP, axis=1
+        )
+        ok = ok & gaps_ok
+    return top_s, top_i, ok
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "k", "c", "tq", "tc", "w", "eps", "ceps", "fallback_cap",
-        "bitexact_rerank", "interpret", "scan", "depth",
+        "bitexact_rerank", "interpret", "scan", "depth", "esc",
     ),
 )
 def _certified_retrieve(
@@ -1079,6 +1312,7 @@ def _certified_retrieve(
     interpret: bool = False,
     scan: str = "v2",
     depth: int = 3,
+    esc: int = 0,
 ):
     """One-dispatch certified retrieval (the device never syncs mid-way:
     every extra chained dispatch costs a full tunnel round-trip).
@@ -1139,89 +1373,76 @@ def _certified_retrieve(
             tq=tq, tc=tc, w=w, eps=eps, topc=c, interpret=interpret,
         )
     a_s, cand, cb = a_s[:b], cand[:b], cb[:b]               # (B, C) x2, (B, 1)
-    # ascending-index candidate order => lax.top_k's earlier-position tie
-    # preference reproduces the reference's lowest-index rule
-    order = jnp.argsort(jnp.where(cand < 0, _BIG_I32, cand), axis=1)
-    cand = jnp.take_along_axis(cand, order, axis=1)
-    safe = jnp.clip(cand, 0, features32.shape[0] - 1)
     nvalid_rows = valid[0, 0]                # true item count (pre-pad)
-    rn = norms1d[safe]
     qn1 = qn[:b, 0]
-    # rerank dots as PLAIN 2-D (rows, F) x (F, cols) matmuls over gathered
-    # candidate columns — the same HLO shape class as the oracle's
-    # catalog matmul, whose per-element fp32 accumulation is
-    # shape-independent on TPU => rerank scores are bitwise the oracle's
-    # (the order-safety foundation; see RERANK_ULP note above).  Grouped
-    # so the (g, g*C) block product stays small.
-    gsz = min(b, 512)
-    bp2 = _round_up(b, gsz)
-    q_p2 = jnp.zeros((bp2, f), jnp.float32).at[:b].set(queries)
-    safe_p = jnp.zeros((bp2, c), jnp.int32).at[:b].set(safe)
-    group_dots = []
-    diag = (
-        jnp.arange(gsz, dtype=jnp.int32)[:, None] * c
-        + jnp.arange(c, dtype=jnp.int32)[None, :]
+    top_s, top_i, ok = _rerank_certify(
+        queries, qn1, a_s, cand, cb, excl, features32, norms1d,
+        nvalid_rows, rn_min if scan == "v3" else None,
+        k=k, c=c, eps=eps, ceps=ceps, scan=scan,
+        bitexact_rerank=bitexact_rerank,
     )
-    for g in range(bp2 // gsz):
-        rows_g = safe_p[g * gsz : (g + 1) * gsz]            # (gsz, C)
-        cols_g = features32[rows_g.reshape(-1)].T           # (F, gsz*C)
-        d_g = jnp.dot(
-            q_p2[g * gsz : (g + 1) * gsz], cols_g,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                   # (gsz, gsz*C)
-        group_dots.append(jnp.take_along_axis(d_g, diag, axis=1))
-    dots = jnp.concatenate(group_dots, axis=0)[:b]          # (B, C)
-    den = qn1[:, None] * rn
-    guard = den > jnp.float32(eps)
-    ex = jnp.where(
-        guard,
-        jnp.clip(dots / jnp.where(guard, den, 1.0), -1.0, 1.0),
-        0.0,
-    )
-    bad_cand = cand < 0
-    if scan == "v3":
-        # the v3 scan carries no masks: drop the query's own row and any
-        # pad columns (index >= valid) here, at (B, C) cost
-        bad_cand = (
-            bad_cand
-            | (cand >= nvalid_rows)
-            | (cand == excl[:, None].astype(jnp.int32))
-        )
-    ex = jnp.where(bad_cand, NEG_INF, ex)
-    kk = min(k + 1, c)
-    top_s1, p2 = jax.lax.top_k(ex, kk)
-    top_i = jnp.take_along_axis(cand, p2, axis=1)[:, :k]
-    top_s = top_s1[:, :k]
-    s_k = top_s[:, k - 1]
-    a_c = a_s[:, c - 1]
-    v4max = cb[:, 0]
-    # coverage: every non-candidate's exact score provably < s_k
-    ok = jnp.maximum(a_c, v4max) + jnp.float32(ceps) < s_k
-    if scan == "v3" and rn_min is not None:
-        # guard-awareness (see docstring): v3 approx scores do NOT bound
-        # exact scores for guarded rows (exact = 0 regardless of cosine),
-        # so when a guardable row can exist require s_k > 0
-        guard_possible = qn1 * rn_min <= jnp.float32(eps)
-        ok = ok & (~guard_possible | (s_k > jnp.float32(0.0)))
     if nreal is not None:
         # bucket-padding rows (all-zero queries) legitimately score 0
         # everywhere and would fail the certificate for nothing — their
         # outputs are sliced away by the caller
         ok = ok | (jnp.arange(b, dtype=jnp.int32) >= nreal)
-    # order safety: on TPU the rerank is oracle-bitwise (see above) so
-    # candidate ordering is certified unconditionally; elsewhere adjacent
-    # top-(k+1) exact scores must be separated by more than any legal
-    # fp32 re-summation disagreement, else the order is implementation-
-    # ambiguous -> fall back to the oracle
-    if not bitexact_rerank:
-        gaps_ok = jnp.all(
-            top_s1[:, :-1] - top_s1[:, 1:] > 2.0 * RERANK_ULP, axis=1
+
+    # ---- depth-escalation rescan (scan="v3" only): before any oracle
+    # fallback, certificate-failing queries are re-scanned ONCE at the
+    # deeper bin depth `esc` and re-certified.  This is what makes the
+    # fast shallow production scan safe: depth-2 W=128 scans ~30% faster
+    # than depth-3 but fails ~1.5% of uniform-random queries (round-4
+    # sweep, docs/PERFORMANCE.md) — far past the oracle fallback's
+    # capacity cliff.  The rescan streams the catalog once more for just
+    # the (<= 32) failing queries, so a failing batch pays ~a B=32
+    # retrieval extra instead of cap-limited (cap, N) oracle GEMMs, and
+    # zero-failure batches skip it entirely (lax.cond).
+    nesc = jnp.int32(0)
+    if esc > depth and scan == "v3":
+        ecap = min(32, b)
+        tq_e = _round_up(ecap, 8)
+        iota_b = jnp.arange(b, dtype=jnp.int32)
+        esel = jnp.where(~ok, -iota_b, jnp.int32(-(2**30)))
+        evtop, _ = jax.lax.top_k(esel, ecap)   # first ecap failing rows
+        evalid = evtop > jnp.int32(-(2**30))
+        eidx = jnp.where(evalid, -evtop, 0)
+        nesc = jnp.sum((~ok).astype(jnp.int32))
+
+        def run_esc(args):
+            top_s, top_i, ok = args
+            eq2 = (
+                jnp.zeros((tq_e, q2.shape[1]), q2.dtype)
+                .at[:ecap]
+                .set(q2[eidx])
+            )
+            a_s2, cand2, cb2 = _scan_call_v3(
+                eq2, features_t2,
+                tq=tq_e, tc=tc, w=w, depth=esc, topc=c,
+                interpret=interpret,
+            )
+            ts2, ti2, ok2 = _rerank_certify(
+                queries[eidx], qn1[eidx], a_s2[:ecap], cand2[:ecap],
+                cb2[:ecap], excl[eidx], features32, norms1d,
+                nvalid_rows, rn_min,
+                k=k, c=c, eps=eps, ceps=ceps, scan=scan,
+                bitexact_rerank=bitexact_rerank,
+            )
+            # splice ONLY rows that are real failures AND now certified;
+            # everything else scatters out of bounds and is dropped (see
+            # the fallback splice note on duplicate-index scatters)
+            upd = evalid & ok2
+            eidx_w = jnp.where(upd, eidx, jnp.int32(b))
+            top_s = top_s.at[eidx_w].set(ts2, mode="drop")
+            top_i = top_i.at[eidx_w].set(ti2, mode="drop")
+            ok = ok.at[eidx_w].set(True, mode="drop")
+            return top_s, top_i, ok
+
+        top_s, top_i, ok = jax.lax.cond(
+            nesc > 0, run_esc, lambda a: a, (top_s, top_i, ok)
         )
-        ok = ok & gaps_ok
 
     if fallback_cap <= 0:
-        return top_s, top_i, ok, jnp.bool_(False)
+        return top_s, top_i, ok, jnp.bool_(False), nesc
 
     # ---- in-jit oracle fallback (device-resident: a host round-trip on
     # tunneled backends costs ~30 ms, so the certify-check/fallback/splice
@@ -1293,15 +1514,20 @@ def _certified_retrieve(
             bmax = bmax.at[rows_c, bm].set(jnp.max(sel2, axis=1))
         fs = jnp.stack(fs_list, axis=1)
         fi = jnp.stack(fi_list, axis=1)
-        # padded slots all target row fidx=0 with its unchanged value
-        new_s = jnp.where(fvalid[:, None], fs, top_s[fidx])
-        new_i = jnp.where(fvalid[:, None], fi, top_i[fidx])
-        return top_s.at[fidx].set(new_s), top_i.at[fidx].set(new_i)
+        # unused capacity slots write OUT OF BOUNDS and are dropped —
+        # never splice through duplicate in-bounds indices: XLA scatter's
+        # duplicate-winner is unspecified, so a dummy slot aliasing a
+        # real row could overwrite the oracle result with the stale value
+        fidx_w = jnp.where(fvalid, fidx, jnp.int32(b))
+        return (
+            top_s.at[fidx_w].set(fs, mode="drop"),
+            top_i.at[fidx_w].set(fi, mode="drop"),
+        )
 
     top_s, top_i = jax.lax.cond(
         nfail > 0, run_fallback, lambda a: a, (top_s, top_i)
     )
-    return top_s, top_i, ok, overflow
+    return top_s, top_i, ok, overflow, nesc
 
 
 @dataclasses.dataclass
@@ -1484,6 +1710,13 @@ class CertifiedRetriever:
         lay = build_certified_layout(feats, norms, config)
         self._scan = lay.scan
         self._depth = lay.depth
+        # depth-escalation rescan (see _certified_retrieve): only
+        # meaningful above the base depth, v3 only
+        self._esc = (
+            config.scan_escalate
+            if (lay.scan == "v3" and config.scan_escalate > lay.depth)
+            else 0
+        )
         self.w = lay.w
         self.tc = lay.tc
         self.tc_small = lay.tc_small
@@ -1498,6 +1731,7 @@ class CertifiedRetriever:
         self._valid = jnp.full((1, 1), n, jnp.int32)
         self._rn_min = jnp.float32(lay.rn_min)
         self.fallbacks = 0   # observability: certificate-failure count
+        self.escalations = 0  # queries that took the depth-esc rescan
         # in-jit oracle fallback capacity: bounds the (cap, N) score
         # matrix the fallback branch may materialize (32 x 1M fp32 =
         # 128 MB HBM, ~1 ms); >cap simultaneous certificate failures
@@ -1635,7 +1869,7 @@ class CertifiedRetriever:
         tc = self.tc_small if bb <= 16 else self.tc
         cap = min(bb, self.fallback_cap)
         small = bb <= 16 and self.features_t2_small is not None
-        top_s, top_i, ok, overflow = _certified_retrieve(
+        top_s, top_i, ok, overflow, nesc = _certified_retrieve(
             queries,
             self.features_t2_small if small else self.features_t2,
             self.norms_row,
@@ -1649,17 +1883,17 @@ class CertifiedRetriever:
             eps=self.config.eps, ceps=self._ceps,
             fallback_cap=cap,
             bitexact_rerank=jax.default_backend() == "tpu",
-            scan=self._scan, depth=self._depth,
+            scan=self._scan, depth=self._depth, esc=self._esc,
             interpret=self.interpret,
         )
         # certificate-failing queries were already rescored on-device by
         # the in-jit oracle fallback; only the (essentially impossible)
         # >cap overflow needs host handling
         if self.sync_check:
-            # ONE host round trip for both scalars (round trips dominate
+            # ONE host round trip for all scalars (round trips dominate
             # on tunneled backends)
-            overflow_h, nfail_h = jax.device_get(
-                (overflow, jnp.sum((~ok).astype(jnp.int32)))
+            overflow_h, nfail_h, nesc_h = jax.device_get(
+                (overflow, jnp.sum((~ok).astype(jnp.int32)), nesc)
             )
             if bool(overflow_h):
                 s_o, i_o = self._handle_overflow(
@@ -1667,8 +1901,9 @@ class CertifiedRetriever:
                 )
                 return s_o[:b], i_o[:b]
             self.fallbacks += int(nfail_h)
+            self.escalations += int(nesc_h)
         else:
-            self._pending.append((overflow, ok))
+            self._pending.append((overflow, ok, nesc))
         if top_s.shape[0] == b:       # unpadded small batch: skip the
             return top_s, top_i       # two eager slice dispatches
         return top_s[:b], top_i[:b]
@@ -1684,7 +1919,7 @@ class CertifiedRetriever:
         self.fallbacks."""
         if nreal is None:
             nreal = queries.shape[0]
-        _, _, ok, _ = _certified_retrieve(
+        _, _, ok, _, _ = _certified_retrieve(
             queries, self.features_t2, self.norms_row, self.features32,
             self.norms1d, excl, self._valid, jnp.int32(nreal),
             self._rn_min,
@@ -1693,7 +1928,7 @@ class CertifiedRetriever:
             tc=self.tc, w=self.w, eps=self.config.eps,
             ceps=self._ceps, fallback_cap=0,
             bitexact_rerank=jax.default_backend() == "tpu",
-            scan=self._scan, depth=self._depth,
+            scan=self._scan, depth=self._depth, esc=self._esc,
             interpret=self.interpret,
         )
         ok_h = np.asarray(ok)
@@ -1732,7 +1967,7 @@ class CertifiedRetriever:
         tc = self.tc_small if bb <= 16 else self.tc
         cap = min(bb, self.fallback_cap)
         small = bb <= 16 and self.features_t2_small is not None
-        top_s, top_i, ok, overflow = _certified_retrieve(
+        top_s, top_i, ok, overflow, nesc = _certified_retrieve(
             q_in,
             self.features_t2_small if small else self.features_t2,
             self.norms_row, self.features32,
@@ -1742,11 +1977,12 @@ class CertifiedRetriever:
             eps=self.config.eps, ceps=self._ceps,
             fallback_cap=cap,
             bitexact_rerank=jax.default_backend() == "tpu",
-            scan=self._scan, depth=self._depth,
+            scan=self._scan, depth=self._depth, esc=self._esc,
             interpret=self.interpret,
         )
-        s_h, i_h, overflow_h, nfail_h = jax.device_get(
-            (top_s, top_i, overflow, jnp.sum((~ok).astype(jnp.int32)))
+        s_h, i_h, overflow_h, nfail_h, nesc_h = jax.device_get(
+            (top_s, top_i, overflow,
+             jnp.sum((~ok).astype(jnp.int32)), nesc)
         )
         if bool(overflow_h):
             s_o, i_o = self._handle_overflow(
@@ -1754,6 +1990,7 @@ class CertifiedRetriever:
             )
             return np.asarray(s_o)[:b], np.asarray(i_o)[:b]
         self.fallbacks += int(nfail_h)
+        self.escalations += int(nesc_h)
         return s_h[:b], i_h[:b]
 
     def verify_no_overflow(self) -> int:
@@ -1762,9 +1999,10 @@ class CertifiedRetriever:
         (must be 0 for the results to be trusted as exact); also folds the
         deferred certificate-failure counts into self.fallbacks."""
         bad_batches = 0
-        for overflow, ok in self._pending:
+        for overflow, ok, nesc in self._pending:
             if bool(overflow):
                 bad_batches += 1
             self.fallbacks += int(jnp.sum(~ok))
+            self.escalations += int(nesc)
         self._pending.clear()
         return bad_batches

@@ -199,6 +199,7 @@ def _local_certified_topk(
     axis_name: str,
     scan: str = "v3",
     depth: int = 3,
+    esc: int = 0,
     rn_min: float = 0.0,
     sum_axes: Tuple[str, ...] = (),
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -229,7 +230,7 @@ def _local_certified_topk(
     )
     valid_local = jnp.clip(valid_rows - offset, 0, n_local).astype(jnp.int32)
     k_local = min(k, n_local)
-    local_s, local_i, ok, overflow = _certified_retrieve(
+    local_s, local_i, ok, overflow, _nesc = _certified_retrieve(
         queries,
         features_t2,
         norms_row,
@@ -242,7 +243,7 @@ def _local_certified_topk(
         k=k_local, c=min(max(c, k_local), depth * w), tq=tq, tc=tc, w=w,
         eps=eps, ceps=ceps, fallback_cap=cap,
         bitexact_rerank=bitexact, interpret=interpret,
-        scan=scan, depth=depth,
+        scan=scan, depth=depth, esc=esc,
     )
     cand_s = jax.lax.all_gather(local_s, axis_name, axis=1, tiled=True)
     cand_i = jax.lax.all_gather(
@@ -328,6 +329,11 @@ class ShardedCatalog:
             self.w = lay.w
             self.scan = lay.scan
             self.depth = lay.depth
+            self.esc = (
+                config.scan_escalate
+                if (lay.scan == "v3" and config.scan_escalate > lay.depth)
+                else 0
+            )
             self.rn_min = lay.rn_min
             self.features = jax.device_put(
                 jnp.asarray(lay.ft, jnp.bfloat16),
@@ -384,6 +390,119 @@ class ShardedCatalog:
             else ("pallas" if use_pallas else "xla"),
         )
 
+    @classmethod
+    def from_artifact(
+        cls,
+        artifact,
+        mesh: Mesh,
+        axis_name: str = "catalog",
+        data_axis: Optional[str] = None,
+        config: Optional["RetrievalConfig"] = None,
+        interpret: bool = False,
+    ) -> "ShardedCatalog":
+        """Certified sharded retrieval straight from an OCDBT artifact
+        (data/sharded_catalog.load_sharded_catalog) — the kernel layouts
+        (bf16x2 split planes, norms row) are built PER SHARD on device
+        via shard_map, so the full feature matrix is never materialized
+        on any single host: the artifact restores mesh-sharded and stays
+        mesh-sharded.  This is the multi-host path past the reference's
+        single-GPU memory wall (reference ARCHITECTURE.md:305-309)."""
+        from spotify_recommender_tpu.core.config import RetrievalConfig
+
+        config = config or RetrievalConfig()
+        self = cls.__new__(cls)
+        self.config = config
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.data_axis = data_axis if (
+            data_axis is not None and mesh.shape.get(data_axis, 1) > 1
+        ) else None
+        self.eps = config.eps
+        self.use_pallas = False
+        self.use_certified = True
+        self.exact = True
+        self.interpret = interpret
+        self.prefilter = config.prefilter
+        self.num_items = artifact.num_items
+        n_shards = mesh.shape[axis_name]
+        rows, f = artifact.features.shape
+        if rows % n_shards:
+            raise ValueError(
+                f"artifact rows {rows} not divisible by mesh axis "
+                f"{axis_name}={n_shards}"
+            )
+        n_local = rows // n_shards
+        if n_local % 512:
+            raise ValueError(
+                f"per-shard rows {n_local} must be a multiple of 512 "
+                "(oracle-fallback block size); re-save the artifact with "
+                f"shard_multiple a multiple of {512 * n_shards}"
+            )
+        # largest power-of-two tile <= catalog_tile that divides the shard
+        tc = 512
+        for cand_tc in (8192, 4096, 2048, 1024, 512):
+            if cand_tc <= config.catalog_tile and n_local % cand_tc == 0:
+                tc = cand_tc
+                break
+        self.tq = config.query_tile
+        self.tc = tc
+        self.scan = config.scan
+        self.depth = config.scan_depth if config.scan == "v3" else 3
+        self.esc = (
+            config.scan_escalate
+            if (config.scan == "v3" and config.scan_escalate > self.depth)
+            else 0
+        )
+        nw = max(1, config.scan_bins // 128) if config.scan_bins else (
+            1 if config.scan == "v3" else 4
+        )
+        while nw > 1 and (tc // 128) % nw:
+            nw //= 2
+        self.w = 128 * nw
+        planes = 4 if (config.split_planes != 2 and 4 * f <= 128) else 2
+
+        def relayout(feats_l, norms_l):
+            # per-shard kernel layout entirely on device: prenormalized
+            # bf16x2 split planes (same math as build_certified_layout)
+            unit = feats_l / jnp.maximum(norms_l, jnp.float32(1e-30))[:, None]
+            hi = unit.astype(jnp.bfloat16)
+            lo = (unit - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            parts = (
+                [hi.T, lo.T] if planes == 2 else [hi.T, lo.T, hi.T, lo.T]
+            )
+            return jnp.concatenate(parts, axis=0), norms_l[None, :]
+
+        fn = jax.shard_map(
+            relayout,
+            mesh=mesh,
+            in_specs=(P(axis_name, None), P(axis_name)),
+            out_specs=(P(None, axis_name), P(None, axis_name)),
+            check_vma=False,
+        )
+        self.features, self.norms = fn(artifact.features, artifact.norms)
+        # fp32 rerank/fallback buffers: the artifact's own sharded arrays
+        self.features32 = artifact.features
+        self.norms1d = artifact.norms
+        rn_min = float(
+            jax.jit(
+                lambda x: jnp.min(jnp.where(x > 0, x, jnp.inf))
+            )(artifact.norms)
+        )
+        self.rn_min = (
+            rn_min if np.isfinite(rn_min) else float(np.finfo(np.float32).max)
+        )
+        self.n_local = n_local
+        self.cap = max(1, min(32, 128_000_000 // max(1, n_local)))
+        self._valid = jnp.asarray(self.num_items, jnp.int32)
+        log.info(
+            "sharded catalog from artifact: %d items over %d '%s' shards "
+            "(certified, device-side relayout, scan=%s depth=%d esc=%d "
+            "W=%d tc=%d)",
+            self.num_items, n_shards, axis_name, self.scan, self.depth,
+            self.esc, self.w, tc,
+        )
+        return self
+
     def retrieve(
         self,
         queries: jnp.ndarray,
@@ -422,6 +541,7 @@ class ShardedCatalog:
                 axis_name=self.axis_name,
                 scan=self.scan,
                 depth=self.depth,
+                esc=self.esc,
                 rn_min=self.rn_min,
                 sum_axes=(
                     (self.data_axis, self.axis_name)

@@ -110,6 +110,18 @@ class Retriever:
                     "certified init failed (%s); using XLA backend", e
                 )
                 self._backend = "xla"
+        elif self._backend == "approx":
+            try:
+                from spotify_recommender_tpu.ops.pallas.fused_topk import (
+                    ApproxRetriever,
+                )
+
+                self._fused = ApproxRetriever(
+                    catalog.features, catalog.norms, self.config
+                )
+            except Exception as e:
+                log.warning("approx init failed (%s); using XLA backend", e)
+                self._backend = "xla"
         elif self._backend == "pallas":
             try:
                 from spotify_recommender_tpu.ops.pallas.fused_topk import (
@@ -140,6 +152,11 @@ class Retriever:
                 # fp32 rerank + per-query exactness certificate (see
                 # ops/pallas/fused_topk.CertifiedRetriever)
                 return "certified"
+            if self.config.dtype.startswith("bfloat16"):
+                # round-5 speed tier: the v3 scan without rerank or
+                # certificate (supersedes the round-1 bf16 tournament
+                # kernel, which benchmarked slower than certified)
+                return "approx"
             return "pallas"
         return "xla"
 
@@ -160,7 +177,7 @@ class Retriever:
             exclude_rows = jnp.asarray(exclude_rows, jnp.int32)
         if self._backend == "sharded":
             return self._sharded.retrieve(queries, k, exclude_rows)
-        if self._backend in ("certified", "pallas"):
+        if self._backend in ("certified", "approx", "pallas"):
             try:
                 return self._fused(queries, k, exclude_rows)
             except Exception as e:  # pragma: no cover - fallback safety net

@@ -258,13 +258,28 @@ class TestDepthCollision:
 
     def test_three_in_one_bin_depth2_forces_fallback(self, rng):
         self._collision_case(
-            rng, RetrievalConfig(scan_depth=2), n_hot=3, k=3
+            rng,
+            RetrievalConfig(scan_depth=2, scan_escalate=0),
+            n_hot=3, k=3,
         )
 
-    def test_four_in_one_bin_depth3_default_forces_fallback(self, rng):
+    def test_four_in_one_bin_depth3_forces_fallback(self, rng):
+        self._collision_case(
+            rng,
+            RetrievalConfig(scan_depth=3, scan_escalate=0),
+            n_hot=4, k=4,
+        )
+
+    def test_default_config_is_escalating_depth2(self):
+        """Production default: depth-2 scan + depth-3 escalation (round-5
+        sweep, docs/PERFORMANCE.md)."""
         cfg = RetrievalConfig()
-        assert cfg.scan_depth == 3        # production v3 default
-        self._collision_case(rng, cfg, n_hot=4, k=4)
+        assert cfg.scan_depth == 2 and cfg.scan_escalate == 3
+
+    def test_default_collision_past_escalation_forces_fallback(self, rng):
+        # 4 hot in one bin beats BOTH the depth-2 base scan and the
+        # depth-3 escalation: the oracle fallback must engage
+        self._collision_case(rng, RetrievalConfig(), n_hot=4, k=4)
 
 
 class TestTieSemantics:
@@ -298,3 +313,89 @@ class TestPlaneLayouts:
         np.testing.assert_array_equal(np.asarray(i4), np.asarray(i2))
         rs, ri = oracle(q, feats, norms, 10)
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(ri))
+
+
+class TestEscalation:
+    """Depth-escalation rescan (RetrievalConfig.scan_escalate): shallow
+    scan + in-jit deeper rescan of certificate failures, before any
+    oracle fallback."""
+
+    @staticmethod
+    def _collision_catalog(rng, n, f, w, num_hot, gap):
+        """Catalog whose top `num_hot` items all live in ONE scan bin
+        (columns 13, 13+w, ...) with DISTINCT descending cosines
+        (1, 1-gap, 1-2*gap, ...): perturbations are orthogonal to the
+        query, so scores separate by ~gap — well past the gaps check —
+        while everything else scores clearly lower."""
+        feats = 0.01 * rng.random((n, f)).astype(np.float32) + 0.01
+        target = rng.random(f).astype(np.float32) + 1.0
+        v = rng.standard_normal(f).astype(np.float32)
+        v -= (v @ target) / (target @ target) * target   # orthogonal
+        v /= np.linalg.norm(v)
+        tu = target / np.linalg.norm(target)
+        hot = [13 + j * w for j in range(num_hot)]
+        for rank, col in enumerate(hot):
+            # cos = 1/sqrt(1+a^2) ~= 1 - rank*gap
+            a = np.sqrt(max(2.0 * gap * rank, 0.0))
+            feats[col] = tu + np.float32(a) * v
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        return feats, norms, target[None, :], hot
+
+    def test_bin_collision_resolved_by_escalation(self, rng):
+        """4 engineered top hits in ONE bin: depth-2 tracking must fail,
+        the depth-4 escalation rescan must certify them WITHOUT the
+        oracle, and the result must still equal the oracle's."""
+        n, f = 8192, 12
+        cfg = RetrievalConfig(scan_depth=2, scan_escalate=4)
+        w = CertifiedRetriever(
+            np.ones((256, f), np.float32), None, cfg, interpret=True
+        ).w
+        feats, norms, q, hot = self._collision_catalog(
+            rng, n, f, w, num_hot=4, gap=1e-3
+        )
+        cr = CertifiedRetriever(feats, norms, cfg, interpret=True)
+        s, i = cr(q, 4)
+        rs, ri = oracle(q, feats, norms, 4)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(rs))
+        assert set(hot) == set(np.asarray(i)[0].tolist())
+        assert cr.escalations >= 1       # the shallow pass had to escalate
+        assert cr.fallbacks == 0         # ...and escalation was enough
+
+    def test_escalation_still_exact_when_insufficient(self, rng):
+        """Collisions too deep even for the escalated depth: the oracle
+        fallback must still restore exactness."""
+        n, f = 8192, 12
+        cfg = RetrievalConfig(scan_depth=2, scan_escalate=3)
+        w = CertifiedRetriever(
+            np.ones((256, f), np.float32), None, cfg, interpret=True
+        ).w
+        feats, norms, q, hot = self._collision_catalog(
+            rng, n, f, w, num_hot=6, gap=5e-4   # 6-deep > escalated 3
+        )
+        cr = CertifiedRetriever(feats, norms, cfg, interpret=True)
+        s, i = cr(q, 6)
+        rs, ri = oracle(q, feats, norms, 6)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(rs))
+        assert cr.escalations >= 1
+        assert cr.fallbacks >= 1         # escalation could not certify
+
+    def test_random_batch_escalation_matches_oracle(self, rng):
+        """Batched random workload through the escalating config equals
+        the oracle row for row (certificates + splices compose)."""
+        n, f, b = 20000, 12, 64
+        feats = rng.random((n, f), dtype=np.float32)
+        norms = np.linalg.norm(feats, axis=1).astype(np.float32)
+        rows = rng.integers(0, n, size=b)
+        q = feats[rows] + rng.normal(0, 0.01, (b, f)).astype(np.float32)
+        cfg = RetrievalConfig(scan_depth=2, scan_escalate=3)
+        cr = CertifiedRetriever(feats, norms, cfg, interpret=True)
+        s, i = cr(q, 10, exclude_rows=rows)
+        rs, ri = oracle(q, feats, norms, 10, excl=rows)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        # scores: 1-ulp tolerance on CPU (rerank vs oracle accumulate in
+        # different orders; index order is certified regardless)
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(rs), rtol=0, atol=1e-6
+        )

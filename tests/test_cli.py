@@ -181,6 +181,45 @@ class TestMeshFlag:
         with np.load("out.npz") as z:
             assert z["rows"].shape == (4, 3)
 
+    def test_preprocess_sharded_and_retrieve_from_artifact(
+        self, workdir, songs_csv, capsys
+    ):
+        """preprocess --format sharded -> OCDBT dir; retrieve --catalog
+        <dir> --mesh catalog=8 runs the certified sharded tier from the
+        mesh restore (VERDICT r4 #4: artifact wired end to end)."""
+        import numpy as np
+
+        rc = cli.main(
+            ["preprocess", str(songs_csv), "-o", "cat_sharded",
+             "--format", "sharded"]
+        )
+        assert rc == 0
+        assert os.path.exists(os.path.join("cat_sharded", "meta.json"))
+        from spotify_recommender_tpu.data.catalog import preprocess_csv
+
+        cat = preprocess_csv(str(songs_csv), None)
+        np.savez("queries.npz", queries=cat.features[:4])
+        capsys.readouterr()
+        rc = cli.main(
+            ["retrieve", "queries.npz", "-k", "3", "--mesh", "catalog=8",
+             "--catalog", "cat_sharded", "-o", "out_sharded.npz"]
+        )
+        assert rc == 0
+        with np.load("out_sharded.npz") as z:
+            rows = z["rows"]
+            assert rows.shape == (4, 3)
+        # parity with the plain (unsharded) retrieval path
+        capsys.readouterr()
+        cli.main(["preprocess", str(songs_csv), "-o", "cat_plain.npz"])
+        capsys.readouterr()
+        rc = cli.main(
+            ["retrieve", "queries.npz", "-k", "3",
+             "--catalog", "cat_plain.npz", "-o", "out_plain.npz"]
+        )
+        assert rc == 0
+        with np.load("out_plain.npz") as z:
+            np.testing.assert_array_equal(rows, z["rows"])
+
     def test_bad_mesh_spec_rejected(self):
         with pytest.raises(SystemExit):
             cli._parse_mesh("bogus")

@@ -240,3 +240,59 @@ class TestPrefilterRerank:
         rows = np.asarray(rows)
         for b in range(8):
             assert b not in rows[b]
+
+
+class TestApproxScanTier:
+    """Round-5 approx tier: the v3 scan kernel without rerank/certificate
+    (supersedes the bf16 tournament kernel — see BENCH_r04/r05)."""
+
+    def test_high_recall_and_score_bound(self):
+        from spotify_recommender_tpu.ops.pallas.fused_topk import (
+            ApproxRetriever, BF16X2_EPS,
+        )
+
+        feats = random_features(5000, seed=50)
+        q = feats[:64] + 0.01 * np.random.default_rng(50).standard_normal(
+            (64, 12)
+        ).astype(np.float32)
+        o_s, o_i = oracle(q, feats, 10)
+        ar = ApproxRetriever(feats, interpret=True)
+        a_s, a_i = ar(jnp.asarray(q), 10)
+        recall = np.mean([
+            len(set(np.asarray(a_i)[b]) & set(np.asarray(o_i)[b])) / 10
+            for b in range(64)
+        ])
+        # depth-2/W=128 bins: a miss needs 3 of the top-10 in ONE bin
+        assert recall >= 0.99, recall
+        # approx scores of agreeing items stay inside the proven bound
+        for b in range(8):
+            om = {int(i): float(s) for i, s in
+                  zip(np.asarray(o_i)[b], np.asarray(o_s)[b])}
+            for i, s in zip(np.asarray(a_i)[b], np.asarray(a_s)[b]):
+                if int(i) in om:
+                    assert abs(float(s) - om[int(i)]) < float(BF16X2_EPS)
+
+    def test_exclusion_and_padding_masked(self):
+        from spotify_recommender_tpu.ops.pallas.fused_topk import (
+            ApproxRetriever,
+        )
+
+        n = 1000 + 37                      # unaligned: pad columns exist
+        feats = random_features(n, seed=51)
+        rows = np.arange(16, dtype=np.int32) * 7
+        q = feats[rows]
+        ar = ApproxRetriever(feats, interpret=True)
+        _, a_i = ar(jnp.asarray(q), 10, exclude_rows=rows)
+        ai = np.asarray(a_i)
+        assert not np.any(ai == rows[:, None])     # self excluded
+        assert np.all(ai >= 0) and np.all(ai < n)  # no pad leakage
+
+    def test_large_k_raises_with_guidance(self):
+        from spotify_recommender_tpu.ops.pallas.fused_topk import (
+            ApproxRetriever,
+        )
+
+        feats = random_features(2000, seed=52)
+        ar = ApproxRetriever(feats, interpret=True)
+        with pytest.raises(ValueError, match="scan_bins"):
+            ar(jnp.asarray(feats[:4]), 400)
