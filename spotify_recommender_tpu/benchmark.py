@@ -109,6 +109,21 @@ def run_benchmark(
                     if catalog_tile
                     else RetrievalConfig()
                 )
+                # autotune cache (ops/autotune.tune): device-measured
+                # tuning for this (N, B, F, k) bucket overrides the
+                # hand-tuned defaults when present
+                from spotify_recommender_tpu.ops import autotune
+
+                tuned = autotune.load_tuned(
+                    num_items, num_queries, feature_dim, k, base=cfg
+                )
+                if tuned is not None:
+                    log.info(
+                        "using autotuned config: depth=%d esc=%d W=%d tq=%d",
+                        tuned.scan_depth, tuned.scan_escalate,
+                        tuned.scan_bins, tuned.query_tile,
+                    )
+                    cfg = tuned
                 # sync_check=False: overflow flags are drained AFTER the
                 # timed loop (verify_no_overflow) — per-call host checks
                 # would bill the tunnel's ~30 ms round trip to the kernel
@@ -253,9 +268,17 @@ def run_quality_row(seed: int = 0) -> dict:
              ).astype(np.float32) + 0.05 * rng.standard_normal(
         (items.shape[0], 12)
     ).astype(np.float32)
+    # Round-5 tuned tripwire: 2000 steps, T=1.0, raw-magnitude item
+    # tower — recall@10 ~0.145, which SATURATES the 12-d feature inputs'
+    # information ceiling (raw-feature kNN = 0.143; the 0.25-0.28
+    # raw-dot ceilings need the 16-d latents the features were projected
+    # from — full ceiling analysis in docs/PERFORMANCE.md round 5).
+    # Guard: a training/eval regression now shows as a drop from ~0.145
+    # toward the 0.01 random floor, 14x of headroom.
     cfg = TwoTowerConfig(
-        embedding_dim=16, hidden_dims=(32,), batch_size=256, num_steps=200,
-        learning_rate=3e-3, seed=seed,
+        embedding_dim=16, hidden_dims=(32,), batch_size=256,
+        num_steps=2000, learning_rate=3e-3, temperature=1.0,
+        normalize_items=False, seed=seed,
     )
     res = two_tower.train(
         feats, np.zeros(len(feats), np.int32), cfg,

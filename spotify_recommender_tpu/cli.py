@@ -509,6 +509,17 @@ def build_parser() -> argparse.ArgumentParser:
     sb.add_argument("--k", type=int, default=10)
     sb.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
 
+    sa = sub.add_parser(
+        "autotune",
+        help="measure kernel-tuning candidates on-device for a shape "
+             "and persist the winner (ops/autotune)",
+    )
+    sa.add_argument("--items", type=int, default=1_000_000)
+    sa.add_argument("--queries", type=int, default=1024)
+    sa.add_argument("--dim", type=int, default=12)
+    sa.add_argument("--k", type=int, default=10)
+    sa.add_argument("--iters", type=int, default=4)
+
     sm = sub.add_parser("train-mf", help="ALS/SGD matrix factorization")
     sm.add_argument("interactions", help="CSV/npz of (user, item, count)")
     sm.add_argument("-o", "--output", default="mf_model.npz")
@@ -676,6 +687,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         return cmd_retrieve(args)
     if args.command == "benchmark":
         return cmd_benchmark(args)
+    if args.command == "autotune":
+        import jax
+
+        from spotify_recommender_tpu.ops import autotune
+
+        cfg = autotune.tune(
+            n=args.items, b=args.queries, f=args.dim, k=args.k,
+            iters=args.iters,
+            interpret=jax.default_backend() != "tpu",
+        )
+        print(
+            f"autotuned n={args.items} b={args.queries} f={args.dim} "
+            f"k={args.k}: depth={cfg.scan_depth} esc={cfg.scan_escalate} "
+            f"W={cfg.scan_bins} tq={cfg.query_tile}"
+        )
+        return 0
     if args.command == "train-mf":
         return cmd_train_mf(args)
     if args.command == "train-two-tower":

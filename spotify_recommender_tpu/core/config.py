@@ -155,6 +155,13 @@ class TwoTowerConfig:
     # params, the L2-normalize epilogue, the loss, and optimizer state
     # stay fp32 (standard TPU mixed precision); "float32" = full precision
     compute_dtype: str = "float32"
+    # False: the ITEM tower skips L2 normalization so embedding magnitude
+    # can encode popularity (the query side stays unit-norm).  On the
+    # co-listen benchmark workload the cosine item-item ceiling is ~0.17
+    # recall@10 vs ~0.25 for raw-dot scoring (round-5 ceiling analysis,
+    # docs/PERFORMANCE.md) — cosine towers structurally cannot use
+    # popularity.  Default True (unit-norm) for cosine-MIPS serving.
+    normalize_items: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

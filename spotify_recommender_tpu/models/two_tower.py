@@ -41,16 +41,23 @@ log = get_logger(__name__)
 
 
 class Tower(nn.Module):
-    """MLP tower → L2-normalized embedding.
+    """MLP tower → embedding (L2-normalized by default).
 
     `dtype` is the COMPUTE dtype (bf16 = single-pass MXU matmuls);
     params always live in fp32 (flax param_dtype default) and the
     normalize epilogue upcasts, so training stays numerically stable —
-    the canonical TPU mixed-precision recipe."""
+    the canonical TPU mixed-precision recipe.
+
+    `normalize=False` keeps the raw MLP output: embedding MAGNITUDE can
+    then encode item popularity, which cosine towers provably cannot
+    (docs/PERFORMANCE.md round-5 ceiling analysis: on the co-listen
+    benchmark workload the cosine item-item ceiling is ~0.17 recall@10
+    while raw-dot reaches ~0.25)."""
 
     hidden_dims: Tuple[int, ...]
     embedding_dim: int
     dtype: jnp.dtype = jnp.float32
+    normalize: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -59,6 +66,8 @@ class Tower(nn.Module):
             x = nn.relu(nn.Dense(h, dtype=self.dtype)(x))
         x = nn.Dense(self.embedding_dim, dtype=self.dtype)(x)
         x = x.astype(jnp.float32)
+        if not self.normalize:
+            return x
         norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
         return x / jnp.maximum(norm, 1e-8)
 
@@ -74,7 +83,12 @@ class TwoTower(nn.Module):
             else jnp.float32
         )
         self.query_tower = Tower(dims, self.config.embedding_dim, dtype)
-        self.item_tower = Tower(dims, self.config.embedding_dim, dtype)
+        # item embeddings optionally carry magnitude (popularity); the
+        # query side stays unit-norm so logits remain scale-bounded
+        self.item_tower = Tower(
+            dims, self.config.embedding_dim, dtype,
+            normalize=getattr(self.config, "normalize_items", True),
+        )
 
     def __call__(self, q: jnp.ndarray, i: jnp.ndarray):
         return self.query_tower(q), self.item_tower(i)

@@ -250,6 +250,60 @@ def _bucket_batch(b: int) -> int:
     return _round_up(b, 512)
 
 
+def _batch_inputs(queries, exclude_rows):
+    """Normalize (queries, exclusions) to kernel-ready arrays with the
+    MINIMUM number of device dispatches — on tunneled backends each
+    eager padding op costs a ~3 ms dispatch slot in the latency chain,
+    which used to dominate B=1 latency 4-to-1 (and cost the round-5
+    approx tier 2x its kernel time until it adopted this path too).
+
+    - host (numpy) inputs: bucket-pad in numpy; padding is free and
+      the jit executable set stays bounded (serving path);
+    - device inputs, b <= 16: NO padding — the per-b jit cache is
+      bounded by 16 small-batch programs, and the call is one
+      dispatch (the kernel pads to the query tile internally);
+    - device inputs, b > 16: bucket-pad (latency-insensitive regime).
+    Returns (queries, excl, b, bb)."""
+    if not isinstance(queries, jax.Array):
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        b = q.shape[0]
+        bb = _bucket_batch(b)
+        if bb != b:
+            q = np.concatenate(
+                [q, np.zeros((bb - b, q.shape[1]), np.float32)]
+            )
+        excl = np.full((bb,), -1, np.int32)
+        if exclude_rows is not None:
+            excl[:b] = np.asarray(exclude_rows, np.int32)
+        return q, excl, b, bb
+    q = jnp.atleast_2d(queries)
+    if q.dtype != jnp.float32:
+        q = q.astype(jnp.float32)
+    b = q.shape[0]
+    if b <= 16:
+        excl = (
+            np.full((b,), -1, np.int32)
+            if exclude_rows is None
+            else jnp.asarray(exclude_rows, jnp.int32)
+        )
+        return q, excl, b, b
+    bb = _bucket_batch(b)
+    if bb != b:
+        q = jnp.zeros((bb, q.shape[1]), jnp.float32).at[:b].set(q)
+        excl = jnp.full((bb,), -1, jnp.int32)
+        if exclude_rows is not None:
+            excl = excl.at[:b].set(
+                jnp.asarray(exclude_rows, jnp.int32)
+            )
+    else:
+        excl = (
+            np.full((b,), -1, np.int32)
+            if exclude_rows is None
+            else jnp.asarray(exclude_rows, jnp.int32)
+        )
+    return q, excl, b, bb
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tq", "tc", "eps", "exact", "interpret"),
@@ -663,19 +717,11 @@ class ApproxRetriever:
         k: int,
         exclude_rows: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-        b, f = queries.shape
+        queries, excl, b, bb = _batch_inputs(queries, exclude_rows)
+        f = queries.shape[1]
         if f != self.feature_dim:
             raise ValueError(
                 f"query dim {f} != catalog dim {self.feature_dim}"
-            )
-        bb = _bucket_batch(b)
-        if bb != b:
-            queries = jnp.zeros((bb, f), jnp.float32).at[:b].set(queries)
-        excl = jnp.full((bb,), -1, jnp.int32)
-        if exclude_rows is not None:
-            excl = excl.at[:b].set(
-                jnp.asarray(exclude_rows, jnp.int32)
             )
         if k > self._depth * self.w:
             raise ValueError(
@@ -693,6 +739,8 @@ class ApproxRetriever:
             k=k, c=c, tq=tq, tc=tc, w=self.w, depth=self._depth,
             interpret=self.interpret,
         )
+        if top_s.shape[0] == b:       # unpadded batch: skip the two
+            return top_s, top_i       # eager slice dispatches
         return top_s[:b], top_i[:b]
 
 
@@ -1501,8 +1549,13 @@ def _certified_retrieve(
                 fsc3, bm[:, None, None], axis=1
             )[:, 0, :]                                          # (cap, blk)
             gcol = bm[:, None] * blk + biota                    # (cap, blk)
-            for rr in range(r):  # mask entries already extracted
-                sel = jnp.where(gcol == taken[:, rr : rr + 1], NEG_INF, sel)
+            if r:  # mask entries already extracted (one broadcasted
+                # compare per round; un-set `taken` slots are -1 and can
+                # never match a non-negative global column)
+                hit = jnp.any(
+                    gcol[:, :, None] == taken[:, None, :], axis=2
+                )
+                sel = jnp.where(hit, NEG_INF, sel)
             val = jnp.max(sel, axis=1)
             am = jnp.argmax(sel, axis=1).astype(jnp.int32)
             gidx = bm * blk + am
@@ -1796,56 +1849,7 @@ class CertifiedRetriever:
         )
 
     def _batch_inputs(self, queries, exclude_rows):
-        """Normalize (queries, exclusions) to kernel-ready arrays with the
-        MINIMUM number of device dispatches — on tunneled backends each
-        eager padding op costs a ~3 ms dispatch slot in the latency chain,
-        which used to dominate B=1 latency 4-to-1.
-
-        - host (numpy) inputs: bucket-pad in numpy; padding is free and
-          the jit executable set stays bounded (serving path);
-        - device inputs, b <= 16: NO padding — the per-b jit cache is
-          bounded by 16 small-batch programs, and the call is one
-          dispatch (the kernel pads to the query tile internally);
-        - device inputs, b > 16: bucket-pad (latency-insensitive regime).
-        Returns (queries, excl, b, bb)."""
-        if not isinstance(queries, jax.Array):
-            q = np.atleast_2d(np.asarray(queries, np.float32))
-            b = q.shape[0]
-            bb = _bucket_batch(b)
-            if bb != b:
-                q = np.concatenate(
-                    [q, np.zeros((bb - b, q.shape[1]), np.float32)]
-                )
-            excl = np.full((bb,), -1, np.int32)
-            if exclude_rows is not None:
-                excl[:b] = np.asarray(exclude_rows, np.int32)
-            return q, excl, b, bb
-        q = jnp.atleast_2d(queries)
-        if q.dtype != jnp.float32:
-            q = q.astype(jnp.float32)
-        b = q.shape[0]
-        if b <= 16:
-            excl = (
-                np.full((b,), -1, np.int32)
-                if exclude_rows is None
-                else jnp.asarray(exclude_rows, jnp.int32)
-            )
-            return q, excl, b, b
-        bb = _bucket_batch(b)
-        if bb != b:
-            q = jnp.zeros((bb, q.shape[1]), jnp.float32).at[:b].set(q)
-            excl = jnp.full((bb,), -1, jnp.int32)
-            if exclude_rows is not None:
-                excl = excl.at[:b].set(
-                    jnp.asarray(exclude_rows, jnp.int32)
-                )
-        else:
-            excl = (
-                np.full((b,), -1, np.int32)
-                if exclude_rows is None
-                else jnp.asarray(exclude_rows, jnp.int32)
-            )
-        return q, excl, b, bb
+        return _batch_inputs(queries, exclude_rows)
 
     def __call__(
         self,

@@ -29,7 +29,12 @@ import jax.numpy as jnp
 from spotify_recommender_tpu.core.config import COSINE_EPS
 from spotify_recommender_tpu.ops.topk import merge_topk
 
-NEG_INF = jnp.float32(-jnp.inf)
+# numpy (not jnp) scalar: a module-level jnp constant would initialize
+# the XLA backend at import time, which breaks jax.distributed.initialize
+# in multi-host processes (must run before ANY backend use)
+import numpy as _np  # noqa: E402  (scoped import for this constant)
+
+NEG_INF = _np.float32(-_np.inf)
 
 
 def cosine_scores(

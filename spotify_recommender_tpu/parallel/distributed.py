@@ -38,7 +38,12 @@ def initialize_multihost(
     JAX_NUM_PROCESSES / JAX_PROCESS_ID).
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    # IMPORTANT: probe with jax.distributed.is_initialized(), never
+    # jax.process_count() — the latter initializes the XLA backend, after
+    # which jax.distributed.initialize() refuses to run (found by
+    # tests/test_distributed_multiprocess.py, the first time this
+    # bootstrap executed with >1 real process)
+    if _initialized or jax.distributed.is_initialized():
         _initialized = True
         return
     kwargs = {}

@@ -283,3 +283,33 @@ class TestMixedPrecision:
         a = two_tower.embed_catalog(res.params, feats, cfg)
         b = two_tower.embed_catalog(params2, feats, cfg2)
         np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+class TestItemMagnitude:
+    def test_normalize_items_false_keeps_magnitude(self):
+        import jax
+        import jax.numpy as jnp
+
+        from spotify_recommender_tpu.core.config import TwoTowerConfig
+        from spotify_recommender_tpu.models.two_tower import TwoTower
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((16, 12), dtype=np.float32))
+        for norm_items, expect_unit in [(True, True), (False, False)]:
+            cfg = TwoTowerConfig(
+                embedding_dim=8, hidden_dims=(16,),
+                normalize_items=norm_items,
+            )
+            model = TwoTower(cfg)
+            params = model.init(jax.random.PRNGKey(0), x, x)
+            i_emb = model.apply(params, x, method=TwoTower.embed_item)
+            q_emb = model.apply(params, x, method=TwoTower.embed_query)
+            norms_i = np.linalg.norm(np.asarray(i_emb), axis=1)
+            # query tower is ALWAYS unit-norm
+            np.testing.assert_allclose(
+                np.linalg.norm(np.asarray(q_emb), axis=1), 1.0, atol=1e-5
+            )
+            if expect_unit:
+                np.testing.assert_allclose(norms_i, 1.0, atol=1e-5)
+            else:
+                assert np.std(norms_i) > 1e-4   # magnitudes differ
