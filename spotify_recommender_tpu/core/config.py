@@ -71,10 +71,11 @@ class RetrievalConfig:
     eps: float = COSINE_EPS
     # Use the fused Pallas kernel when possible; else the jnp oracle.
     use_pallas: bool = True
-    # Catalog storage dtype for the fused kernel. "bfloat16" halves HBM
-    # traffic and runs single-pass MXU dots (~0.4% score error; measured
-    # recall@10 vs exact reported in tests) — for learned-embedding
-    # serving tiers where bit-exactness is not contractual. Requires
+    # Catalog storage dtype. "float32" (default) keeps the certified
+    # exact tier.  "bfloat16" selects the APPROX tier (round 5: the v3
+    # bin-scan kernel without rerank/certificate — ops/pallas/fused_topk
+    # ApproxRetriever; score error <= 2e-5, recall@10 >= 0.99) for
+    # serving tiers where bit-exactness is not contractual.  Requires
     # exact_scores=False.
     dtype: str = "float32"
     # True: reproduce the reference's division-form cosine epilogue
