@@ -234,6 +234,48 @@ def _fused_kernel(
         out_i_ref[:] = r_i[:]
 
 
+def _split_kernel_body(x_ref, hi_ref, lo_ref):
+    x = x_ref[:]
+    hi = x.astype(jnp.bfloat16)
+    hi_ref[:] = hi
+    lo_ref[:] = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _split_bf16x2(x: jnp.ndarray, *, interpret: bool = False):
+    """Faithful bf16x2 split of fp32 `x`: hi = bf16(x), lo = bf16(x - hi).
+
+    Computed INSIDE a Pallas kernel, and that is LOAD-BEARING: when the
+    split is written as plain jnp ops inside a jit, XLA's TPU
+    reduced-precision propagation sees an fp32 subtraction whose only
+    consumer is a bf16 convert and demotes the whole upstream chain to
+    bf16 — both operands collapse to bf16(x), the lo plane becomes ~0,
+    and the split residual degrades from ~2^-18 to ~2^-9 (measured
+    1.9e-3 vs 3.8e-6 on unit vectors), silently voiding the BF16X2_EPS
+    bound the exactness certificate is built on.  Found by a
+    compiled-TPU parity check in round 5: a true top-10 item was dropped
+    WITH a passing certificate.  `jax.lax.optimization_barrier` does NOT
+    stop the rewrite (tested on the sub, on its operands, and on both);
+    a Mosaic kernel body is opaque to XLA and does.  tests pin the
+    jitted residual (test_certified.py) and, opt-in on real TPU,
+    full-batch compiled parity (test_tpu_compiled.py)."""
+    m, d = x.shape
+    tile = min(m, 4096)
+    return pl.pallas_call(
+        _split_kernel_body,
+        grid=(-(-m // tile),),
+        in_specs=[pl.BlockSpec((tile, d), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((m, d), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(x)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -404,8 +446,7 @@ def _prepare_and_call(
         # bf16x2 split planes: queries as [qh, ql, ql, qh] pair with the
         # catalog's [hi, lo, hi, lo] planes so ONE dot computes the full
         # (q_hi+q_lo)·(c_hi+c_lo) product (~2^-16)
-        hi = q_pad.astype(jnp.bfloat16)
-        lo = (q_pad - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi, lo = _split_bf16x2(q_pad, interpret=interpret)
         q_pad = jnp.concatenate([hi, lo, lo, hi], axis=1)  # (bp, 4F) bf16
     else:
         q_pad = q_pad.astype(features_t.dtype)
@@ -659,8 +700,7 @@ def _approx_retrieve(
     q_pad = jnp.zeros((bp, f), jnp.float32).at[:b].set(queries)
     qn = jnp.linalg.norm(q_pad, axis=1, keepdims=True)
     qunit = q_pad / jnp.maximum(qn, jnp.float32(1e-30))
-    qh = qunit.astype(jnp.bfloat16)
-    ql = (qunit - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+    qh, ql = _split_bf16x2(qunit, interpret=interpret)
     q2 = jnp.concatenate([qh, ql, ql, qh], axis=1)
     a_s, cand, _ = _scan_call_v3(
         q2, features_t2, tq=tq, tc=tc, w=w, depth=depth, topc=c,
@@ -775,11 +815,15 @@ class ApproxRetriever:
 # additionally checks the bound empirically on random and adversarial data.
 BF16X2_EPS = np.float32(2e-5)
 
-# On TPU the certified rerank is BIT-IDENTICAL to the oracle: both
-# compute per-element dots through the same (rows, F) x (F, cols) HIGHEST
-# matmul lowering, whose per-element accumulation is shape-independent
-# (verified by tests/test_tpu_compiled.py's bit-equality canary), so the
-# rerank's candidate ordering IS the oracle's ordering, ties included.
+# On TPU the certified rerank is BIT-IDENTICAL to the oracle FOR THE
+# BIG-BATCH SHAPE CLASS: both compute per-element dots through the same
+# (rows, F) x (F, cols) HIGHEST matmul lowering, whose per-element
+# accumulation is shape-independent (verified by
+# tests/test_tpu_compiled.py's bit-equality canary and full-batch
+# parity), so the rerank's candidate ordering IS the oracle's ordering,
+# ties included.  Tiny batches are excluded from the claim: XLA lowers a
+# (1, N) oracle matmul differently (measured 1-2 ulp divergence at b=1,
+# round 5), so batches bucketed <= 16 keep the gaps check below.
 # XLA:CPU reassociates with SIMD (measured up to ~9.5e-7 divergence), so
 # on non-TPU backends candidate-order decisions are additionally only
 # certified when adjacent exact scores are separated by more than twice
@@ -1334,6 +1378,7 @@ def _rerank_certify(
     static_argnames=(
         "k", "c", "tq", "tc", "w", "eps", "ceps", "fallback_cap",
         "bitexact_rerank", "interpret", "scan", "depth", "esc",
+        "debug_scan",
     ),
 )
 def _certified_retrieve(
@@ -1361,6 +1406,7 @@ def _certified_retrieve(
     scan: str = "v2",
     depth: int = 3,
     esc: int = 0,
+    debug_scan: bool = False,   # also return raw (a_s, cand, cb)
 ):
     """One-dispatch certified retrieval (the device never syncs mid-way:
     every extra chained dispatch costs a full tunnel round-trip).
@@ -1399,8 +1445,7 @@ def _certified_retrieve(
     q_pad = jnp.zeros((bp, f), jnp.float32).at[:b].set(queries)
     qn = jnp.linalg.norm(q_pad, axis=1, keepdims=True)
     qunit = q_pad / jnp.maximum(qn, jnp.float32(1e-30))
-    qh = qunit.astype(jnp.bfloat16)
-    ql = (qunit - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+    qh, ql = _split_bf16x2(qunit, interpret=interpret)
     # [qh,ql | ql,qh]: dot([qh,ql],[hi;lo]) + dot([ql,qh],[hi;lo]) =
     # qh·hi + ql·lo + ql·hi + qh·lo = (qh+ql)·(hi+lo)
     q2 = jnp.concatenate([qh, ql, ql, qh], axis=1)
@@ -1421,6 +1466,8 @@ def _certified_retrieve(
             tq=tq, tc=tc, w=w, eps=eps, topc=c, interpret=interpret,
         )
     a_s, cand, cb = a_s[:b], cand[:b], cb[:b]               # (B, C) x2, (B, 1)
+    if debug_scan:
+        return a_s, cand, cb
     nvalid_rows = valid[0, 0]                # true item count (pre-pad)
     qn1 = qn[:b, 0]
     top_s, top_i, ok = _rerank_certify(
@@ -1886,7 +1933,11 @@ class CertifiedRetriever:
             k=k, c=c, tq=tq, tc=tc, w=self.w,
             eps=self.config.eps, ceps=self._ceps,
             fallback_cap=cap,
-            bitexact_rerank=jax.default_backend() == "tpu",
+            # bitwise rerank==oracle is canary-proven only for the
+            # big-batch matmul shape class; tiny batches (the oracle
+            # lowers (1, N) differently — measured 1-2 ulp) keep the
+            # RERANK_ULP gaps check as on CPU
+            bitexact_rerank=jax.default_backend() == "tpu" and bb > 16,
             scan=self._scan, depth=self._depth, esc=self._esc,
             interpret=self.interpret,
         )
@@ -1980,7 +2031,7 @@ class CertifiedRetriever:
             k=k, c=c, tq=tq, tc=tc, w=self.w,
             eps=self.config.eps, ceps=self._ceps,
             fallback_cap=cap,
-            bitexact_rerank=jax.default_backend() == "tpu",
+            bitexact_rerank=jax.default_backend() == "tpu" and bb > 16,
             scan=self._scan, depth=self._depth, esc=self._esc,
             interpret=self.interpret,
         )

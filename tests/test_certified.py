@@ -399,3 +399,30 @@ class TestEscalation:
         np.testing.assert_allclose(
             np.asarray(s), np.asarray(rs), rtol=0, atol=1e-6
         )
+
+
+class TestSplitHelper:
+    def test_split_bf16x2_faithful_in_interpret(self, rng):
+        """The bf16x2 split helper must carry the remainder in the lo
+        plane (residual ~2^-18, NOT ~2^-9).  The TPU-compiled twin of
+        this test (test_tpu_compiled.py::TestSplitPlaneIntegrity) guards
+        the XLA demotion rewrite this helper exists to defeat."""
+        import jax
+        import jax.numpy as jnp
+
+        from spotify_recommender_tpu.ops.pallas.fused_topk import (
+            _split_bf16x2,
+        )
+
+        x = rng.random((100, 12), dtype=np.float32) * 2.0 - 1.0
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+        @jax.jit
+        def prep(v):
+            return _split_bf16x2(v, interpret=True)
+
+        hi, lo = map(np.asarray, prep(jnp.asarray(xn)))
+        res = np.abs(
+            hi.astype(np.float32) + lo.astype(np.float32) - xn
+        ).max()
+        assert res < 1e-5, res

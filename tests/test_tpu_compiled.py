@@ -201,3 +201,60 @@ class TestEpsBoundOnChip:
         )
         err = np.abs(np.where(valid, cv - exact, 0.0))
         assert err.max() < BF16X2_EPS, f"on-chip eps violation: {err.max()}"
+
+
+class TestSplitPlaneIntegrity:
+    """Round-5 regression: XLA's TPU reduced-precision propagation
+    demoted the in-jit lo-plane subtraction to bf16 (lo ~ 0), silently
+    voiding the BF16X2_EPS certificate bound — a true top-10 item was
+    dropped WITH a passing certificate.  The split now lives in a Pallas
+    kernel (_split_bf16x2), which XLA cannot rewrite."""
+
+    def test_jitted_split_residual_faithful(self):
+        import jax.numpy as jnp
+
+        from spotify_recommender_tpu.ops.pallas.fused_topk import (
+            _split_bf16x2,
+        )
+
+        @jax.jit
+        def prep(queries):
+            qn = jnp.linalg.norm(queries, axis=1, keepdims=True)
+            qu = queries / jnp.maximum(qn, jnp.float32(1e-30))
+            qh, ql = _split_bf16x2(qu)
+            return qh, ql, qu
+
+        rng = np.random.default_rng(5)
+        q = rng.random((1024, 12), dtype=np.float32)
+        qh, ql, qu = map(np.asarray, prep(q))
+        res = np.abs(
+            qh.astype(np.float32) + ql.astype(np.float32) - qu
+        ).max()
+        # faithful split: residual ~2^-18; the demotion bug gave ~2^-9
+        assert res < 1e-5, f"split residual {res} — lo plane demoted?"
+
+    def test_batched_perturbed_parity_with_escalation(self, data):
+        """Perturbed queries put true top-k items near certificate
+        boundaries — exactly the construction that exposed the demotion
+        (unperturbed self-queries are too well separated to notice)."""
+        import jax.numpy as jnp
+
+        from spotify_recommender_tpu.ops.pallas.fused_topk import (
+            CertifiedRetriever,
+        )
+        from spotify_recommender_tpu.ops.similarity import exact_topk
+
+        feats, norms, _, rows = data
+        rng = np.random.default_rng(11)
+        q = feats[rows] + (
+            1e-4 * rng.standard_normal((len(rows), 12))
+        ).astype(np.float32)
+        cr = CertifiedRetriever(feats, norms, sync_check=False)
+        s, i = cr(q, 10, exclude_rows=rows)
+        assert cr.verify_no_overflow() == 0
+        es, ei = exact_topk(
+            jnp.asarray(q), jnp.asarray(feats), jnp.asarray(norms),
+            exclude_rows=jnp.asarray(rows), k=10,
+        )
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ei))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(es))
